@@ -1,0 +1,392 @@
+"""The per-view PatchMatch solver: one jit-compiled functional program.
+
+Reference call stack being re-designed (not ported): ACMMP::RunPatchMatch
+(src/ACMMP.cu:1378-1456) — RandomInitialization, max_iterations x
+(BlackPixelUpdate; RedPixelUpdate), GetDepthandNormal, Black/RedPixelFilter.
+
+TPU-first design decisions:
+  * the red/black checkerboard is two masked whole-image vector updates per
+    iteration — the checkerboard guarantees each parity only reads the
+    opposite parity, so the masked functional update is *exactly* the
+    reference's in-place semantics, with no races possible;
+  * every per-pixel scalar loop of the CUDA kernels (8-region adaptive
+    sampling, view re-sampling, 5-candidate refinement) becomes a small
+    static stack of vector ops over [H, W] grids (see ops/);
+  * all randomness is counter-based via jax.random (reproducible; the
+    reference seeds curand with the wall clock, ACMMP.cu:624);
+  * hypotheses are evaluated in batched NCC calls ([9,H,W,V] for
+    propagation, [5,H,W,V] for refinement) that keep the VPU busy.
+
+Known reference bugs NOT reproduced (each documented in DEVIATIONS.md):
+uninitialized plane_hypotheses_now when nothing improves (ACMMP.cu:1149),
+garbage pre_costs in hierarchy mode (ACMMP.cu:680-681, ACMMP.cpp:764-765),
+the world/cam normal-frame mixup in the planar-prior re-init else-branch
+(ACMMP.cu:655-659), and the zero-cost border hijack (ACMMP.cu:805).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from acmmp_tpu.config import PatchMatchParams
+from acmmp_tpu.core import geometry as geo
+from acmmp_tpu.ops import ncc as ncc_ops
+from acmmp_tpu.ops import propagation as prop_ops
+from acmmp_tpu.ops import sampling as samp_ops
+from acmmp_tpu.ops.geom import geom_consistency_cost
+from acmmp_tpu.ops.median import checkerboard_median
+
+
+@dataclasses.dataclass(frozen=True)
+class Mode:
+    """Static solver mode flags (PatchMatchParams bools, src/ACMMP.h:50-55)."""
+
+    geom_consistency: bool = False
+    planar_prior: bool = False
+    hierarchy: bool = False
+    seeded: bool = False
+
+
+class SolverInputs(NamedTuple):
+    """Dynamic inputs of one (view, scale, mode) solve. Optional fields are
+    None unless the mode requires them; shapes are padded static shapes with
+    true bounds carried in the cameras."""
+
+    ref_img: jax.Array                 # [H, W] grayscale, edge-padded
+    src_imgs: jax.Array                # [V, Hs, Ws]
+    ref_cam: geo.Camera                # scalar camera
+    src_cams: geo.Camera               # stacked [V]
+    view_mask: jax.Array               # [V] bool
+    depth_min: jax.Array               # scalar, relaxed range
+    depth_max: jax.Array               # scalar
+    src_depths: Optional[jax.Array] = None       # [V, Hs, Ws] (geom mode)
+    init_depth: Optional[jax.Array] = None       # [H, W] re-entry depth
+    init_normal_world: Optional[jax.Array] = None  # [H, W, 3] re-entry normal
+    init_cost: Optional[jax.Array] = None        # [H, W] re-entry costs
+    prior_planes: Optional[jax.Array] = None     # [H, W, 4] planar-prior planes
+    prior_mask: Optional[jax.Array] = None       # [H, W] bool
+    seed_planes: Optional[jax.Array] = None      # [H, W, 4] seeded init
+    pre_costs: Optional[jax.Array] = None        # [H, W] hierarchy gate costs
+
+
+class SolverState(NamedTuple):
+    planes: jax.Array        # [H, W, 4] camera-frame plane hypotheses
+    costs: jax.Array         # [H, W]
+    selected: jax.Array      # [H, W, V] bool
+    pre_costs: jax.Array     # [H, W] (hierarchy acceptance gate)
+
+
+class SolverOutputs(NamedTuple):
+    depth: jax.Array         # [H, W]
+    normal_world: jax.Array  # [H, W, 3]
+    cost: jax.Array          # [H, W]
+    pre_costs: jax.Array     # [H, W] (to thread into a follow-up prior run)
+
+
+# ---------------------------------------------------------------------------
+# initialization (RandomInitialization, ACMMP.cu:609-705)
+# ---------------------------------------------------------------------------
+
+def _init_state(inputs: SolverInputs, params: PatchMatchParams, mode: Mode,
+                key: jax.Array) -> SolverState:
+    H, W = inputs.ref_img.shape
+    x, y = geo.pixel_grid(H, W)
+    cam = inputs.ref_cam
+    vg = ncc_ops.make_view_geometry(cam, inputs.src_cams)
+
+    if mode.seeded:
+        planes = inputs.seed_planes
+    elif mode.planar_prior:
+        # re-entry after a converged photometric pass: keep the previous
+        # hypothesis, but perturb around the triangulated prior plane where
+        # a prior exists and the fit is still poor (ACMMP.cu:640-661)
+        n_cam = geo.normal_world_to_cam(cam, inputs.init_normal_world)
+        keep = geo.plane_from_depth_normal(cam, x, y, inputs.init_depth, n_cam)
+        kd, kn = jax.random.split(key)
+        p3 = 3.0 * params.prior_init_perturbation
+        # NB: the reference perturbs the plane *offset* w by +-3*2% (it names
+        # the variable depth_perturbed but reads/writes plane.w,
+        # ACMMP.cu:645-650); we match that behavior.
+        w0 = inputs.prior_planes[..., 3]
+        u = jax.random.uniform(kd, (H, W), dtype=jnp.float32) * 2.0 - 1.0
+        w_pert = w0 * (1.0 + p3 * u)
+        n_pert = samp_ops.perturbed_normal(
+            kn, cam, x, y, inputs.prior_planes[..., :3], p3 * jnp.pi
+        )
+        pert = jnp.concatenate([n_pert, w_pert[..., None]], axis=-1)
+        use_prior = inputs.prior_mask & (inputs.init_cost >= 0.1)
+        planes = jnp.where(use_prior[..., None], pert, keep)
+    elif mode.geom_consistency or mode.hierarchy:
+        # re-enter from the previous pass/scale's (world normal, depth)
+        n_cam = geo.normal_world_to_cam(cam, inputs.init_normal_world)
+        planes = geo.plane_from_depth_normal(cam, x, y, inputs.init_depth, n_cam)
+    else:
+        planes = samp_ops.random_plane(
+            key, cam, x, y, inputs.depth_min, inputs.depth_max
+        )
+
+    per_view = ncc_ops.multiview_zncc(
+        inputs.ref_img, inputs.src_imgs, vg, planes, params
+    )
+    costs, selected = ncc_ops.initial_cost_and_views(
+        per_view, inputs.view_mask, params
+    )
+    pre_costs = costs if inputs.pre_costs is None else inputs.pre_costs
+    return SolverState(planes=planes, costs=costs, selected=selected,
+                       pre_costs=pre_costs)
+
+
+# ---------------------------------------------------------------------------
+# one checkerboard half-sweep
+# ---------------------------------------------------------------------------
+
+def _aggregate(costs_pv, geom_pv, weights, weight_norm, params, geom: bool):
+    """Weighted multiview aggregation: sum_j w_j (ncc_j + 0.2 geom_j) / norm.
+    costs_pv: [..., H, W, V]."""
+    c = costs_pv
+    if geom:
+        c = c + params.geom_weight * geom_pv
+    total = jnp.sum(weights * c, axis=-1)
+    return total / jnp.maximum(weight_norm, 1.0)
+
+
+def _restricted_score(cost, depth, normal, prior_planes, prior_depth, dmin, dmax,
+                      params):
+    """Planar-prior restricted score (bigger is better; ACMMP.cu:1105-1124)."""
+    depth_sigma = (dmax - dmin) / params.prior_depth_sigma_div
+    two_ds2 = 2.0 * depth_sigma * depth_sigma
+    two_as2 = 2.0 * params.prior_angle_sigma ** 2
+    dd = depth - prior_depth
+    cosang = jnp.sum(prior_planes[..., :3] * normal, axis=-1)
+    ang = jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
+    prior = params.prior_gamma + jnp.exp(-dd * dd / two_ds2) * jnp.exp(
+        -ang * ang / two_as2
+    )
+    return jnp.exp(-cost * cost / params.prior_beta) * prior
+
+
+def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
+           iteration, key: jax.Array, params: PatchMatchParams,
+           mode: Mode) -> SolverState:
+    cam = inputs.ref_cam
+    H, W = inputs.ref_img.shape
+    dmin, dmax = inputs.depth_min, inputs.depth_max
+    wt, ht = cam.width, cam.height
+    k_view, k_refine = jax.random.split(key)
+
+    # ---- adaptive checkerboard sampling: 8 candidate planes ----
+    cand_planes, flags = prop_ops.best_neighbor_planes(
+        state.costs, state.planes, x, y, wt, ht, params
+    )
+    planes9 = jnp.concatenate([cand_planes, state.planes[None]], axis=0)
+    ncc9 = ncc_ops.multiview_zncc(inputs.ref_img, inputs.src_imgs, vg,
+                                  planes9, params)          # [9, H, W, V]
+    geom9 = None
+    if mode.geom_consistency:
+        geom9 = geom_consistency_cost(cam, inputs.src_cams, inputs.src_depths,
+                                      planes9, x, y, params)
+
+    # ---- multi-hypothesis joint view selection ----
+    weights, weight_norm, new_selected = prop_ops.view_selection(
+        ncc9[:8], flags, state.selected, inputs.view_mask, x, y, wt, ht,
+        k_view, iteration, params,
+    )
+    has_views = weight_norm > 0.0
+
+    agg9 = _aggregate(ncc9, geom9, weights[None], weight_norm[None], params,
+                      mode.geom_consistency)                # [9, H, W]
+    final_costs = jnp.where(flags, agg9[:8], prop_ops.BIG)  # invalid regions out
+    cost_now = agg9[8]
+
+    cand_depths = geo.depth_from_plane(cam, cand_planes, x, y)  # [8, H, W]
+    depth_ok = (cand_depths >= dmin) & (cand_depths <= dmax)
+    gated = jnp.where(depth_ok, final_costs, prop_ops.BIG)
+
+    if not mode.planar_prior:
+        best = jnp.argmin(gated, axis=0)                     # [H, W]
+        best_cost = jnp.take_along_axis(gated, best[None], axis=0)[0]
+        improve = (best_cost < cost_now) & has_views
+        plane_prop = jnp.where(
+            improve[..., None],
+            jnp.take_along_axis(cand_planes, best[None, ..., None], axis=0)[0],
+            state.planes,
+        )
+        cost_prop = jnp.where(improve, best_cost, cost_now)
+        sel_prop = jnp.where(improve[..., None], new_selected, state.selected)
+        restricted_prop = jnp.zeros((H, W), jnp.float32)
+        # buffers the reference writes during propagation:
+        buffer_planes = state.planes if mode.hierarchy else plane_prop
+        buffer_costs = cost_now
+        prior_depth = jnp.zeros((H, W), jnp.float32)
+    else:
+        prior_depth = geo.depth_from_plane(cam, inputs.prior_planes, x, y)
+        # masked pixels: maximize the restricted score over the 8 regions
+        r8 = _restricted_score(
+            agg9[:8], cand_depths, cand_planes[..., :3],
+            inputs.prior_planes[None], prior_depth[None], dmin, dmax, params,
+        )
+        r8 = jnp.where(flags & depth_ok, r8, -prop_ops.BIG)
+        r_now = _restricted_score(
+            cost_now, geo.depth_from_plane(cam, state.planes, x, y),
+            state.planes[..., :3], inputs.prior_planes, prior_depth,
+            dmin, dmax, params,
+        )
+        best_r = jnp.argmax(r8, axis=0)
+        best_r_score = jnp.take_along_axis(r8, best_r[None], axis=0)[0]
+        take_r = (best_r_score > r_now) & inputs.prior_mask & has_views
+        # unmasked pixels: standard min-cost acceptance
+        best_c = jnp.argmin(gated, axis=0)
+        best_c_cost = jnp.take_along_axis(gated, best_c[None], axis=0)[0]
+        take_c = (best_c_cost < cost_now) & (~inputs.prior_mask) & has_views
+
+        best = jnp.where(inputs.prior_mask, best_r, best_c)
+        chosen_plane = jnp.take_along_axis(
+            cand_planes, best[None, ..., None], axis=0
+        )[0]
+        chosen_cost = jnp.take_along_axis(agg9[:8], best[None], axis=0)[0]
+        take = take_r | take_c
+        plane_prop = jnp.where(take[..., None], chosen_plane, state.planes)
+        cost_prop = jnp.where(take, chosen_cost, cost_now)
+        restricted_prop = jnp.where(take_r, best_r_score, r_now)
+        sel_prop = jnp.where(take_r[..., None], new_selected, state.selected)
+        buffer_planes = plane_prop
+        buffer_costs = cost_prop
+
+    # ---- plane refinement: 5 candidates (PlaneHypothesisRefinement) ----
+    depth_now = geo.depth_from_plane(cam, plane_prop, x, y)
+    normal_now = plane_prop[..., :3]
+    kd_r, kn_r, kd_p, kn_p = jax.random.split(k_refine, 4)
+
+    if mode.planar_prior:
+        depth_sigma = (dmax - dmin) / params.prior_depth_sigma_div
+        u = jax.random.uniform(kd_r, (H, W), dtype=jnp.float32)
+        d_rand_prior = u * 6.0 * depth_sigma + (prior_depth - 3.0 * depth_sigma)
+        n_rand_prior = samp_ops.perturbed_normal(
+            kn_r, cam, x, y, inputs.prior_planes[..., :3], params.prior_angle_sigma
+        )
+        d_rand_std = samp_ops.random_depth(kd_r, dmin, dmax, (H, W))
+        n_rand_std = samp_ops.random_unit_normal(kn_r, cam, x, y, depth_now)
+        pm = inputs.prior_mask
+        depth_rand = jnp.where(pm, d_rand_prior, d_rand_std)
+        normal_rand = jnp.where(pm[..., None], n_rand_prior, n_rand_std)
+    else:
+        depth_rand = samp_ops.random_depth(kd_r, dmin, dmax, (H, W))
+        normal_rand = samp_ops.random_unit_normal(kn_r, cam, x, y, depth_now)
+
+    pert = params.refine_perturbation
+    u = jax.random.uniform(kd_p, (H, W), dtype=jnp.float32)
+    depth_pert = depth_now * (1.0 - pert) + u * (2.0 * pert * depth_now)
+    normal_pert = samp_ops.perturbed_normal(kn_p, cam, x, y, normal_now,
+                                            pert * jnp.pi)
+
+    cand_d = jnp.stack([depth_rand, depth_now, depth_rand, depth_now, depth_pert])
+    cand_n = jnp.stack([normal_now, normal_rand, normal_rand, normal_pert,
+                        normal_now])
+    planes5 = geo.plane_from_depth_normal(cam, x, y, cand_d, cand_n)
+    ncc5 = ncc_ops.multiview_zncc(inputs.ref_img, inputs.src_imgs, vg,
+                                  planes5, params)
+    geom5 = None
+    if mode.geom_consistency:
+        geom5 = geom_consistency_cost(cam, inputs.src_cams, inputs.src_depths,
+                                      planes5, x, y, params)
+    cost5 = _aggregate(ncc5, geom5, weights[None], weight_norm[None], params,
+                       mode.geom_consistency)               # [5, H, W]
+    d_ok5 = (cand_d >= dmin) & (cand_d <= dmax)
+
+    if not mode.planar_prior:
+        g5 = jnp.where(d_ok5, cost5, prop_ops.BIG)
+        bi = jnp.argmin(g5, axis=0)
+        bc = jnp.take_along_axis(g5, bi[None], axis=0)[0]
+        imp = (bc < cost_prop) & has_views
+        plane_ref = jnp.where(
+            imp[..., None],
+            jnp.take_along_axis(planes5, bi[None, ..., None], axis=0)[0],
+            plane_prop,
+        )
+        cost_ref = jnp.where(imp, bc, cost_prop)
+    else:
+        r5 = _restricted_score(cost5, cand_d, cand_n, inputs.prior_planes[None],
+                               prior_depth[None], dmin, dmax, params)
+        r5 = jnp.where(d_ok5, r5, -prop_ops.BIG)
+        bi_r = jnp.argmax(r5, axis=0)
+        br = jnp.take_along_axis(r5, bi_r[None], axis=0)[0]
+        imp_r = (br > restricted_prop) & inputs.prior_mask & has_views
+        g5 = jnp.where(d_ok5, cost5, prop_ops.BIG)
+        bi_c = jnp.argmin(g5, axis=0)
+        bcc = jnp.take_along_axis(g5, bi_c[None], axis=0)[0]
+        imp_c = (bcc < cost_prop) & (~inputs.prior_mask) & has_views
+        bi = jnp.where(inputs.prior_mask, bi_r, bi_c)
+        chosen = jnp.take_along_axis(planes5, bi[None, ..., None], axis=0)[0]
+        chosen_cost = jnp.take_along_axis(cost5, bi[None], axis=0)[0]
+        imp = imp_r | imp_c
+        plane_ref = jnp.where(imp[..., None], chosen, plane_prop)
+        cost_ref = jnp.where(imp, chosen_cost, cost_prop)
+
+    # ---- hierarchy acceptance gate (ACMMP.cu:1163-1172) ----
+    if mode.hierarchy:
+        gate = cost_ref < state.pre_costs - params.hierarchy_accept_margin
+        new_planes = jnp.where(gate[..., None], plane_ref, buffer_planes)
+        new_costs = jnp.where(gate, cost_ref, buffer_costs)
+    else:
+        new_planes = plane_ref
+        new_costs = cost_ref
+
+    # ---- masked parity write; pixels whose view re-sampling selected no
+    # view at all keep their previous state (the reference would write NaN
+    # costs there via a 0/0 — see DEVIATIONS.md) ----
+    upd = parity_mask & has_views
+    upd3 = upd[..., None]
+    return SolverState(
+        planes=jnp.where(upd3, new_planes, state.planes),
+        costs=jnp.where(upd, new_costs, state.costs),
+        selected=jnp.where(upd3, sel_prop, state.selected),
+        pre_costs=state.pre_costs,
+    )
+
+
+# ---------------------------------------------------------------------------
+# full solve
+# ---------------------------------------------------------------------------
+
+def run_patchmatch(inputs: SolverInputs, key: jax.Array,
+                   params: PatchMatchParams, mode: Mode) -> SolverOutputs:
+    """One full PatchMatch solve for one reference view. Jit-compatible with
+    `params` and `mode` static."""
+    H, W = inputs.ref_img.shape
+    x, y = geo.pixel_grid(H, W)
+    cam = inputs.ref_cam
+    vg = ncc_ops.make_view_geometry(cam, inputs.src_cams)
+
+    k_init, k_sweeps = jax.random.split(key)
+    state = _init_state(inputs, params, mode, k_init)
+
+    black = (x.astype(jnp.int32) + y.astype(jnp.int32)) % 2 == 0
+    # scan over the 2*max_iterations half-sweeps so the (large) sweep body is
+    # traced and compiled exactly once
+    n_sweeps = 2 * params.max_iterations
+    iters = jnp.asarray([s // 2 for s in range(n_sweeps)], jnp.float32)
+    parities = jnp.asarray([s % 2 for s in range(n_sweeps)], jnp.int32)
+    keys = jax.vmap(lambda s: jax.random.fold_in(k_sweeps, s))(jnp.arange(n_sweeps))
+
+    def body(st, xs):
+        it, par, k = xs
+        parity = jnp.where(par == 0, black, ~black)
+        return _sweep(st, inputs, vg, x, y, parity, it, k, params, mode), None
+
+    state, _ = jax.lax.scan(body, state, (iters, parities, keys))
+
+    # GetDepthandNormal (ACMMP.cu:1199-1212): plane -> (world normal, depth)
+    depth = geo.depth_from_plane(cam, state.planes, x, y)
+    normal_world = geo.normal_cam_to_world(cam, state.planes[..., :3])
+
+    # checkerboard median filter, black then red (ACMMP.cu:1445-1447)
+    depth = checkerboard_median(depth, state.costs, x, y, cam.width, cam.height,
+                                black, params)
+    depth = checkerboard_median(depth, state.costs, x, y, cam.width, cam.height,
+                                ~black, params)
+    return SolverOutputs(depth=depth, normal_world=normal_world,
+                         cost=state.costs, pre_costs=state.pre_costs)

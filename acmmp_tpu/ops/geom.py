@@ -1,0 +1,45 @@
+"""Geometric-consistency cost: forward-backward reprojection error against
+neighbor depth maps (ComputeGeomConsistencyCost, src/ACMMP.cu:518-543),
+vectorized over the image grid, hypotheses and views.
+
+On a multi-chip mesh the neighbor depth maps are the one cross-chip data
+dependency; they arrive via lax.all_gather at the stage barrier (see
+parallel/sharding.py)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from acmmp_tpu.config import PatchMatchParams
+from acmmp_tpu.core import geometry as geo
+
+
+def geom_consistency_cost(
+    ref_cam: geo.Camera,
+    src_cams: geo.Camera,     # stacked [V]
+    src_depths: jax.Array,    # [V, Hs, Ws] depth maps (0 = invalid)
+    planes: jax.Array,        # [..., H, W, 4]
+    x: jax.Array,             # [H, W]
+    y: jax.Array,             # [H, W]
+    params: PatchMatchParams,
+) -> jax.Array:
+    """Returns [..., H, W, V] clamped reprojection errors."""
+    max_cost = params.geom_cost_max
+    depth = geo.depth_from_plane(ref_cam, planes, x, y)          # [..., H, W]
+    Xw = geo.world_point(ref_cam, x, y, depth)                   # [..., H, W, 3]
+
+    def one_view(src_cam, src_depth):
+        uv, _ = geo.project(src_cam, Xw)                         # [..., H, W, 2]
+        # reference samples the depth texture at truncated integer coords
+        sd = geo.nearest_sample(src_depth, uv[..., 0], uv[..., 1],
+                                width=src_cam.width, height=src_cam.height)
+        Xs = geo.world_point(src_cam, uv[..., 0], uv[..., 1], sd)
+        buv, _ = geo.project(ref_cam, Xs)
+        err = jnp.sqrt(
+            (x - buv[..., 0]) ** 2 + (y - buv[..., 1]) ** 2
+        )
+        err = jnp.minimum(max_cost, err)
+        return jnp.where(sd <= 0.0, max_cost, err)
+
+    return jax.vmap(one_view, in_axes=(0, 0), out_axes=-1)(src_cams, src_depths)

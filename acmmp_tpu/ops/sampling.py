@@ -1,0 +1,70 @@
+"""Counter-based random plane-hypothesis sampling.
+
+The reference seeds curand with wall-clock (``curand_init(clock64(), ...)``,
+src/ACMMP.cu:624) making runs non-reproducible by design; here every draw
+comes from a jax.random key threaded through the solver, so runs are exactly
+reproducible. Distributions match the reference:
+  * random unit normals are uniform on the sphere, flipped to face the
+    camera (GenerateRandomNormal, ACMMP.cu:170-196 — Marsaglia sampling and
+    a normalized Gaussian draw give the same law);
+  * perturbed normals rotate by three independent U(-p/2, p/2) Euler angles
+    and keep the original when the result faces away
+    (GeneratePerturbedNormal, ACMMP.cu:198-233).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from acmmp_tpu.core import geometry as geo
+
+
+def random_unit_normal(key, cam: geo.Camera, x, y, depth) -> jax.Array:
+    """Uniform-on-sphere normals facing the camera; shapes follow x/y."""
+    shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y))
+    v = jax.random.normal(key, shape + (3,), dtype=jnp.float32)
+    n = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    return geo.face_camera(cam, x, y, depth, n)
+
+
+def random_depth(key, depth_min, depth_max, shape) -> jax.Array:
+    u = jax.random.uniform(key, shape, dtype=jnp.float32)
+    return u * (depth_max - depth_min) + depth_min
+
+
+def random_plane(key, cam: geo.Camera, x, y, depth_min, depth_max) -> jax.Array:
+    """GenerateRandomPlaneHypothesis (ACMMP.cu:235-241)."""
+    kd, kn = jax.random.split(key)
+    shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y))
+    depth = random_depth(kd, depth_min, depth_max, shape)
+    n = random_unit_normal(kn, cam, x, y, depth)
+    return geo.plane_from_depth_normal(cam, x, y, depth, n)
+
+
+def _euler_rotation(a1, a2, a3):
+    """Rotation matrix rows per GeneratePerturbedNormal (ACMMP.cu:213-222)."""
+    s1, s2, s3 = jnp.sin(a1), jnp.sin(a2), jnp.sin(a3)
+    c1, c2, c3 = jnp.cos(a1), jnp.cos(a2), jnp.cos(a3)
+    r = jnp.stack(
+        [
+            c2 * c3, c3 * s1 * s2 - c1 * s3, s1 * s3 + c1 * c3 * s2,
+            c2 * s3, c1 * c3 + s1 * s2 * s3, c1 * s2 * s3 - c3 * s1,
+            -s2, c2 * s1, c1 * c2,
+        ],
+        axis=-1,
+    )
+    return r.reshape(r.shape[:-1] + (3, 3))
+
+
+def perturbed_normal(key, cam: geo.Camera, x, y, normal, perturbation) -> jax.Array:
+    """Rotate `normal` by three small random Euler angles; keep the original
+    where the perturbed normal faces away from the camera."""
+    shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y))
+    angles = (jax.random.uniform(key, shape + (3,), dtype=jnp.float32) - 0.5) * perturbation
+    R = _euler_rotation(angles[..., 0], angles[..., 1], angles[..., 2])
+    rotated = jnp.einsum("...ij,...j->...i", R, normal)
+    vd = geo.view_direction(cam, x, y, 1.0)
+    bad = jnp.sum(rotated * vd, axis=-1, keepdims=True) >= 0.0
+    out = jnp.where(bad, normal, rotated)
+    return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
