@@ -1,0 +1,318 @@
+"""Multi-scale reconstruction scheduler.
+
+The stage graph of the reference CLI (main_ACMMP.cpp:96-196):
+
+  scale S (coarsest) .. 0 (finest):
+    S:    photometric(+seeded) pass with planar-prior second solve,
+          then 2 geometric-consistency passes (2nd with multi_geometry)
+    <S:   JBU-upsample previous depths -> hierarchy pass (planar-prior
+          second solve, hierarchy acceptance gate), then 2 geometric passes
+  finally: fusion (plain or prior-aware) -> PLY
+
+Stage-to-stage contract is the filesystem, byte-compatible with the
+reference (<out>/2333_%08d/{depths,depths_geom,normals,costs}.dmb), so runs
+are resumable at stage granularity and cross-checkable against the
+reference binaries."""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acmmp_tpu.config import PipelineConfig, PatchMatchParams
+from acmmp_tpu.engine.fusion import run_fusion, run_prior_aware_fusion
+from acmmp_tpu.engine.inputs import build_solver_inputs
+from acmmp_tpu.engine.patchmatch import Mode, SolverOutputs, run_patchmatch
+from acmmp_tpu.engine.priors import build_planar_prior
+from acmmp_tpu.io import read_dmb, write_dmb
+from acmmp_tpu.io.dense_folder import (
+    Problem, cam_path, image_path, load_image_gray, read_cam_txt,
+    read_pair_txt, rescale_to_max_size, result_dir,
+)
+from acmmp_tpu.io.priors import load_seed_planes, priors_available
+from acmmp_tpu.ops.jbu import jbu_depth_jit, jbu_normal_cost
+from acmmp_tpu.utils.log import get_logger, stage_metrics
+
+log = get_logger("scheduler")
+
+_solve = jax.jit(run_patchmatch, static_argnames=("params", "mode"))
+
+
+def generate_sample_list(dense_folder: str) -> List[Problem]:
+    return read_pair_txt(os.path.join(dense_folder, "pair.txt"))
+
+
+def compute_multiscale_settings(dense_folder: str, problems: List[Problem],
+                                params: PatchMatchParams,
+                                image_dir: str = "images") -> int:
+    """Per-problem downscale counts (ComputeMultiScaleSettings,
+    acmmp_definitions.cpp:207-243)."""
+    from PIL import Image as PILImage
+
+    max_num_downscale = -1
+    for p in problems:
+        with PILImage.open(image_path(dense_folder, p.ref_image_id, image_dir)) as im:
+            w, h = im.size
+        max_size = min(max(w, h), params.max_image_size)
+        p.max_image_size = max_size
+        k = 0
+        while max_size > params.size_bound:
+            max_size //= 2
+            k += 1
+        p.num_downscale = k
+        max_num_downscale = max(max_num_downscale, k)
+    return max_num_downscale
+
+
+@dataclasses.dataclass
+class _ViewData:
+    image: np.ndarray
+    cam: object
+
+
+class ViewLoader:
+    """Loads and caches grayscale images + cameras, rescaled per size."""
+
+    def __init__(self, dense_folder: str, image_dir: str = "images"):
+        self.dense = dense_folder
+        self.image_dir = image_dir
+        self._raw: Dict[int, _ViewData] = {}
+        self._scaled: Dict[tuple, _ViewData] = {}
+
+    def raw(self, image_id: int) -> _ViewData:
+        if image_id not in self._raw:
+            img = load_image_gray(image_path(self.dense, image_id, self.image_dir))
+            cam = read_cam_txt(cam_path(self.dense, image_id))
+            cam.width, cam.height = img.shape[1], img.shape[0]
+            self._raw[image_id] = _ViewData(img, cam)
+        return self._raw[image_id]
+
+    def at_size(self, image_id: int, max_size: int) -> _ViewData:
+        key = (image_id, max_size)
+        if key not in self._scaled:
+            raw = self.raw(image_id)
+            img, cam = rescale_to_max_size(raw.image, raw.cam, max_size)
+            self._scaled[key] = _ViewData(img, cam)
+        return self._scaled[key]
+
+
+def _write_outputs(rdir: str, out: SolverOutputs, h: int, w: int,
+                   geom: bool) -> None:
+    os.makedirs(rdir, exist_ok=True)
+    depth = np.asarray(out.depth)[:h, :w]
+    normal = np.asarray(out.normal_world)[:h, :w]
+    cost = np.asarray(out.cost)[:h, :w]
+    write_dmb(os.path.join(rdir, "depths_geom.dmb" if geom else "depths.dmb"), depth)
+    write_dmb(os.path.join(rdir, "normals.dmb"), normal)
+    write_dmb(os.path.join(rdir, "costs.dmb"), cost)
+
+
+def process_problem(
+    dense_folder: str,
+    output_folder: str,
+    problems: Sequence[Problem],
+    idx: int,
+    cfg: PipelineConfig,
+    loader: ViewLoader,
+    *,
+    geom_consistency: bool,
+    planar_prior: bool,
+    hierarchy: bool,
+    multi_geometry: bool = False,
+    seeded: bool = False,
+    pass_tag: int = 0,
+) -> None:
+    """One (view, scale, mode) solve + optional planar-prior second solve
+    (ProcessProblem, acmmp_definitions.cpp:245-403)."""
+    params = cfg.patchmatch
+    problem = problems[idx]
+    rid = problem.ref_image_id
+    rdir = result_dir(output_folder, rid)
+    os.makedirs(rdir, exist_ok=True)
+    id2prob = {p.ref_image_id: p for p in problems}
+
+    ref = loader.at_size(rid, problem.cur_image_size)
+    src_ids = problem.src_image_ids
+    srcs = [
+        loader.at_size(s, id2prob[s].cur_image_size if s in id2prob
+                       else problem.cur_image_size)
+        for s in src_ids
+    ]
+    h, w = ref.image.shape
+    v_pad = max(len(p.src_image_ids) for p in problems)
+
+    kw = {}
+    suffix = "depths_geom.dmb" if multi_geometry else "depths.dmb"
+    if geom_consistency:
+        kw["src_depths"] = [
+            read_dmb(os.path.join(result_dir(output_folder, s), suffix))
+            for s in src_ids
+        ]
+        kw["init_depth"] = read_dmb(os.path.join(rdir, suffix))
+        kw["init_normal_world"] = read_dmb(os.path.join(rdir, "normals.dmb"))
+        kw["init_cost"] = read_dmb(os.path.join(rdir, "costs.dmb"))
+    elif hierarchy:
+        # coarse hypotheses from the previous scale; fine depth from JBU
+        fine_depth = read_dmb(os.path.join(rdir, "depths.dmb"))
+        coarse_normal = read_dmb(os.path.join(rdir, "normals.dmb"))
+        coarse_cost = read_dmb(os.path.join(rdir, "costs.dmb"))
+        if coarse_normal.shape[:2] != (h, w):
+            normal_up, _cost_up = jax.jit(
+                jbu_normal_cost, static_argnames=("params",)
+            )(jnp.asarray(ref.image), jnp.asarray(coarse_normal),
+              jnp.asarray(coarse_cost), params)
+            kw["init_normal_world"] = np.asarray(normal_up)
+        else:
+            kw["init_normal_world"] = coarse_normal
+        if fine_depth.shape != (h, w):
+            # JBU was skipped (equal sizes upstream); resize naively
+            fine_depth = np.asarray(jbu_depth_jit(
+                jnp.asarray(ref.image), jnp.asarray(fine_depth), params))
+        kw["init_depth"] = fine_depth
+    elif seeded:
+        seed_planes = load_seed_planes(dense_folder, rid, ref.cam, h, w)
+        if seed_planes is None:
+            raise FileNotFoundError(f"priors for view {rid} not found")
+        kw["seed_planes"] = seed_planes
+
+    inputs = build_solver_inputs(
+        ref.image, [s.image for s in srcs], ref.cam, [s.cam for s in srcs],
+        params, num_views_pad=v_pad, pad_h=cfg.pad_h, pad_w=cfg.pad_w, **kw,
+    )
+    mode = Mode(geom_consistency=geom_consistency, hierarchy=hierarchy,
+                seeded=seeded)
+    key = jax.random.fold_in(jax.random.key(cfg.seed), rid * 131 + pass_tag)
+    out = _solve(inputs, key, params=params, mode=mode)
+    out = jax.tree.map(np.asarray, out)
+
+    if planar_prior:
+        # second solve, regularized by triangulated plane priors
+        dmin = float(ref.cam.depth_min * params.depth_min_relax)
+        dmax = float(ref.cam.depth_max * params.depth_max_relax)
+        prior_planes, prior_mask = build_planar_prior(
+            ref.cam, out.depth, out.cost, dmin, dmax, w, h,
+        )
+        if prior_planes is not None:
+            inputs2 = build_solver_inputs(
+                ref.image, [s.image for s in srcs], ref.cam,
+                [s.cam for s in srcs], params, num_views_pad=v_pad,
+                pad_h=cfg.pad_h, pad_w=cfg.pad_w,
+                init_depth=out.depth, init_normal_world=out.normal_world,
+                init_cost=out.cost, prior_planes=prior_planes,
+                prior_mask=prior_mask,
+                pre_costs=out.pre_costs if hierarchy else None,
+                src_depths=kw.get("src_depths"),
+            )
+            mode2 = Mode(geom_consistency=geom_consistency,
+                         planar_prior=True, hierarchy=hierarchy)
+            key2 = jax.random.fold_in(key, 1)
+            out = jax.tree.map(
+                np.asarray, _solve(inputs2, key2, params=params, mode=mode2)
+            )
+
+    _write_outputs(rdir, out, h, w, geom_consistency)
+    stage_metrics(log, f"view {rid:08d}", out.depth[:h, :w], out.cost[:h, :w])
+
+
+def joint_bilateral_upsampling(dense_folder: str, output_folder: str,
+                               problem: Problem, acmmp_size: int,
+                               cfg: PipelineConfig,
+                               loader: ViewLoader) -> None:
+    """Upsample depths_geom.dmb to the next scale via JBU and store it as
+    the next scale's depths.dmb (JointBilateralUpsampling,
+    acmmp_definitions.cpp:405-440)."""
+    rid = problem.ref_image_id
+    rdir = result_dir(output_folder, rid)
+    coarse = read_dmb(os.path.join(rdir, "depths_geom.dmb"))
+    fine = loader.at_size(rid, acmmp_size)
+    if max(fine.image.shape[0] // coarse.shape[0],
+           fine.image.shape[1] // coarse.shape[1]) <= 1:
+        return  # RunJBU: "Image.rows = Depthmap.rows" early-out
+    up = jbu_depth_jit(jnp.asarray(fine.image), jnp.asarray(coarse),
+                       cfg.patchmatch)
+    write_dmb(os.path.join(rdir, "depths.dmb"), np.asarray(up))
+
+
+def run_pipeline(dense_folder: str, cfg: PipelineConfig) -> str:
+    """Full reconstruction: the reference CLI main (main_ACMMP.cpp:9-198).
+    Returns the written PLY path."""
+    problems = generate_sample_list(dense_folder)
+    log.info("There are %d problems to process", len(problems))
+    max_num_downscale = compute_multiscale_settings(
+        dense_folder, problems, cfg.patchmatch, cfg.image_dir)
+
+    prior = cfg.use_prior
+    if prior and not priors_available(dense_folder, len(problems)):
+        raise FileNotFoundError(
+            "seeded init requested (--prior) but priors/ not found")
+
+    out_name = cfg.output_dir
+    if prior and cfg.output_dir == "ACMMP":
+        out_name = "ACMMP_PRIOR"
+    output_folder = os.path.join(dense_folder, out_name)
+    os.makedirs(output_folder, exist_ok=True)
+    loader = ViewLoader(dense_folder, cfg.image_dir)
+
+    tag = 0
+    first_scale = True
+    scale = max_num_downscale
+    while scale >= 0:
+        log.info("Scale: %d", scale)
+        for p in problems:
+            if p.num_downscale >= 0:
+                p.cur_image_size = p.max_image_size // (2 ** p.num_downscale)
+                p.num_downscale -= 1
+
+        if first_scale:
+            first_scale = False
+            for i in range(len(problems)):
+                process_problem(
+                    dense_folder, output_folder, problems, i, cfg, loader,
+                    geom_consistency=False, planar_prior=cfg.planar_prior,
+                    hierarchy=False, seeded=prior, pass_tag=tag,
+                )
+            tag += 1
+        else:
+            log.info("Starting JBU")
+            for p in problems:
+                joint_bilateral_upsampling(
+                    dense_folder, output_folder, p, p.cur_image_size, cfg,
+                    loader)
+            for i in range(len(problems)):
+                process_problem(
+                    dense_folder, output_folder, problems, i, cfg, loader,
+                    geom_consistency=False, planar_prior=cfg.planar_prior,
+                    hierarchy=True, pass_tag=tag,
+                )
+            tag += 1
+        for geom_iter in range(cfg.geom_iterations):
+            for i in range(len(problems)):
+                process_problem(
+                    dense_folder, output_folder, problems, i, cfg, loader,
+                    geom_consistency=True, planar_prior=False,
+                    hierarchy=False, multi_geometry=geom_iter > 0,
+                    pass_tag=tag,
+                )
+            tag += 1
+        scale -= 1
+
+    fusion_folder = os.path.join(dense_folder, cfg.fusion_dir)
+    if (prior and cfg.multi_fusion) or cfg.force_fusion:
+        ply = run_prior_aware_fusion(
+            dense_folder, output_folder, fusion_folder, problems,
+            geom_consistency=True, fp=cfg.fusion,
+            single_match_penalty=cfg.fusion.single_match_penalty,
+            mask_dir=cfg.mask_dir,
+        )
+    else:
+        ply = run_fusion(
+            dense_folder, output_folder, problems, geom_consistency=True,
+            fp=cfg.fusion, image_dir=cfg.image_dir, mask_dir=cfg.mask_dir,
+        )
+    log.info("wrote %s", ply)
+    return ply
