@@ -352,10 +352,54 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
 # full solve
 # ---------------------------------------------------------------------------
 
+def init_state(inputs: SolverInputs, key: jax.Array,
+               params: PatchMatchParams, mode: Mode) -> SolverState:
+    """Stage 1 of the staged solve: initialization (jittable)."""
+    return _init_state(inputs, params, mode, key)
+
+
+def sweep_once(state: SolverState, inputs: SolverInputs, sweep_idx: int,
+               key: jax.Array, params: PatchMatchParams,
+               mode: Mode) -> SolverState:
+    """Stage 2 (called 2*max_iterations times): one red/black half-sweep.
+    `sweep_idx` is static: even = black parity, odd = red
+    (BlackPixelUpdate/RedPixelUpdate, ACMMP.cu:1175-1197)."""
+    H, W = inputs.ref_img.shape
+    x, y = geo.pixel_grid(H, W)
+    vg = ncc_ops.make_view_geometry(inputs.ref_cam, inputs.src_cams)
+    black = (x.astype(jnp.int32) + y.astype(jnp.int32)) % 2 == 0
+    parity = black if sweep_idx % 2 == 0 else ~black
+    it = jnp.float32(sweep_idx // 2)
+    return _sweep(state, inputs, vg, x, y, parity, it, key, params, mode)
+
+
+def finalize(state: SolverState, inputs: SolverInputs,
+             params: PatchMatchParams) -> SolverOutputs:
+    """Stage 3: plane -> (depth, world normal) + checkerboard median
+    (GetDepthandNormal + Black/RedPixelFilter, ACMMP.cu:1199-1212, 1445-1447)."""
+    H, W = inputs.ref_img.shape
+    x, y = geo.pixel_grid(H, W)
+    cam = inputs.ref_cam
+    black = (x.astype(jnp.int32) + y.astype(jnp.int32)) % 2 == 0
+    depth = geo.depth_from_plane(cam, state.planes, x, y)
+    normal_world = geo.normal_cam_to_world(cam, state.planes[..., :3])
+    depth = checkerboard_median(depth, state.costs, x, y, cam.width, cam.height,
+                                black, params)
+    depth = checkerboard_median(depth, state.costs, x, y, cam.width, cam.height,
+                                ~black, params)
+    return SolverOutputs(depth=depth, normal_world=normal_world,
+                         cost=state.costs, pre_costs=state.pre_costs)
+
+
 def run_patchmatch(inputs: SolverInputs, key: jax.Array,
                    params: PatchMatchParams, mode: Mode) -> SolverOutputs:
-    """One full PatchMatch solve for one reference view. Jit-compatible with
-    `params` and `mode` static."""
+    """One full PatchMatch solve for one reference view as a single traced
+    program (jit-compatible; `params` and `mode` static).
+
+    NB: on TPU at large image sizes, prefer `run_patchmatch_staged` — XLA's
+    TPU backend miscompiles the multi-sweep program above ~0.3 Mpx (device
+    kernel fault; single sweeps are fine), so the staged driver keeps each
+    half-sweep its own XLA program with state resident on device."""
     H, W = inputs.ref_img.shape
     x, y = geo.pixel_grid(H, W)
     cam = inputs.ref_cam
@@ -378,15 +422,31 @@ def run_patchmatch(inputs: SolverInputs, key: jax.Array,
         return _sweep(st, inputs, vg, x, y, parity, it, k, params, mode), None
 
     state, _ = jax.lax.scan(body, state, (iters, parities, keys))
+    return finalize(state, inputs, params)
 
-    # GetDepthandNormal (ACMMP.cu:1199-1212): plane -> (world normal, depth)
-    depth = geo.depth_from_plane(cam, state.planes, x, y)
-    normal_world = geo.normal_cam_to_world(cam, state.planes[..., :3])
 
-    # checkerboard median filter, black then red (ACMMP.cu:1445-1447)
-    depth = checkerboard_median(depth, state.costs, x, y, cam.width, cam.height,
-                                black, params)
-    depth = checkerboard_median(depth, state.costs, x, y, cam.width, cam.height,
-                                ~black, params)
-    return SolverOutputs(depth=depth, normal_world=normal_world,
-                         cost=state.costs, pre_costs=state.pre_costs)
+def run_patchmatch_staged(inputs: SolverInputs, key: jax.Array,
+                          params: PatchMatchParams, mode: Mode,
+                          _cache={}) -> SolverOutputs:
+    """The same solve as `run_patchmatch`, executed as a short host-driven
+    sequence of jitted stages (init, 2*max_iterations half-sweeps, finalize).
+    State stays on device between stages; results are identical to the
+    single-program path up to XLA fusion-level float reassociation.
+
+    Exists because XLA:TPU faults on the fused multi-sweep program at large
+    image sizes (see run_patchmatch docstring); this is also the natural
+    structure for sharded multi-chip execution (collectives per stage)."""
+    if "fns" not in _cache:
+        _cache["fns"] = (
+            jax.jit(init_state, static_argnames=("params", "mode")),
+            jax.jit(sweep_once, static_argnames=("sweep_idx", "params", "mode")),
+            jax.jit(finalize, static_argnames=("params",)),
+        )
+    f_init, f_sweep, f_fin = _cache["fns"]
+    k_init, k_sweeps = jax.random.split(key)
+    state = f_init(inputs, k_init, params=params, mode=mode)
+    for s in range(2 * params.max_iterations):
+        k = jax.random.fold_in(k_sweeps, s)
+        state = f_sweep(state, inputs, sweep_idx=s, key=k, params=params,
+                        mode=mode)
+    return f_fin(state, inputs, params=params)

@@ -27,7 +27,9 @@ import numpy as np
 from acmmp_tpu.config import PipelineConfig, PatchMatchParams
 from acmmp_tpu.engine.fusion import run_fusion, run_prior_aware_fusion
 from acmmp_tpu.engine.inputs import build_solver_inputs
-from acmmp_tpu.engine.patchmatch import Mode, SolverOutputs, run_patchmatch
+from acmmp_tpu.engine.patchmatch import (
+    Mode, SolverOutputs, run_patchmatch_staged,
+)
 from acmmp_tpu.engine.priors import build_planar_prior
 from acmmp_tpu.io import read_dmb, write_dmb
 from acmmp_tpu.io.dense_folder import (
@@ -40,7 +42,9 @@ from acmmp_tpu.utils.log import get_logger, stage_metrics
 
 log = get_logger("scheduler")
 
-_solve = jax.jit(run_patchmatch, static_argnames=("params", "mode"))
+# staged solve: each stage is its own jitted program (required on TPU at
+# large sizes — see run_patchmatch_staged docstring); state stays on device
+_solve = run_patchmatch_staged
 
 
 def generate_sample_list(dense_folder: str) -> List[Problem]:
@@ -194,8 +198,10 @@ def process_problem(
         # second solve, regularized by triangulated plane priors
         dmin = float(ref.cam.depth_min * params.depth_min_relax)
         dmax = float(ref.cam.depth_max * params.depth_max_relax)
+        # solver outputs are padded to [Hp, Wp]; triangulation runs on the
+        # true image extent
         prior_planes, prior_mask = build_planar_prior(
-            ref.cam, out.depth, out.cost, dmin, dmax, w, h,
+            ref.cam, out.depth[:h, :w], out.cost[:h, :w], dmin, dmax, w, h,
         )
         if prior_planes is not None:
             inputs2 = build_solver_inputs(
