@@ -78,6 +78,9 @@ class PatchMatchParams:
     depth_min_relax: float = 0.6
     depth_max_relax: float = 1.2
 
+    # --- NCC backend: "auto" = Pallas kernel on TPU, jnp elsewhere ---
+    ncc_backend: str = "auto"        # "auto" | "pallas" | "jnp"
+
     # --- deviations from the reference (documented in DEVIATIONS.md) ---
     # The reference's right_far strip selects the MAX-cost member due to a
     # reversed comparison (ACMMP.cu:879); we default to the evident intent

@@ -67,7 +67,22 @@ def multiview_zncc(
 
     Returns [..., H, W, V] costs in [0, cost_max]; out-of-bounds centers and
     degenerate patches get cost_max (ACMMP.cu:368-369, 423-425).
+
+    Backend dispatch: on TPU the fused Pallas kernel (ops/pallas_ncc.py)
+    replaces the XLA-gather formulation below (~4-25x faster; identical
+    semantics up to float reassociation). Controlled by params.ncc_backend.
     """
+    use_pallas = params.ncc_backend == "pallas" or (
+        params.ncc_backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from acmmp_tpu.ops.pallas_ncc import multiview_zncc_pallas
+
+        if planes.ndim == 3:
+            return multiview_zncc_pallas(
+                ref_img, src_imgs, vg, planes[None], params)[0]
+        return multiview_zncc_pallas(ref_img, src_imgs, vg, planes, params)
+
     H, W = ref_img.shape
     x, y = geo.pixel_grid(H, W)
     cost_max = params.cost_max

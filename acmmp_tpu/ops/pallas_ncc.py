@@ -1,0 +1,253 @@
+"""Fused warped bilateral-ZNCC Pallas kernel — the hot op, TPU-native.
+
+Replaces the XLA-gather formulation of `ops.ncc.multiview_zncc` (reference
+kernel: ComputeBilateralNCC, src/ACMMP.cu:360-432). The per-pixel plane
+hypotheses make the source-image reads random-access; XLA's TPU gather
+runs at ~10-20 ns/element, which leaves the solver gather-bound. This
+kernel keeps the source views resident in VMEM and performs the bilinear
+gathers itself: for each output tile and each of the 36 patch taps, it
+scans only the rows inside that tap's dynamic coordinate bounding box
+(tight for the coherent hypothesis fields PatchMatch spends most of its
+sweep on; wide only for the random exploration candidates), selecting
+lanes with `take_along_axis` and rows with compare-accumulate.
+
+Division of labor:
+  * jnp (outside): 36 edge-clamped ref-tap shifts, bilateral weights
+    (static shifts + exp — XLA fuses these), ref-side ZNCC sums, and the
+    per-hypothesis homography fields (m = Kr^{-T} n, 1/w).
+  * Pallas (inside): per (hypothesis, view, tile): 36 warp coordinate
+    fields, per-tap bbox row scans fused with the weighted src-side
+    accumulations, final ZNCC assembly.
+
+Semantics match ops.ncc.multiview_zncc up to float reassociation: same
+clamps, same degenerate-variance guard, same center bounds test (edge
+padding makes clamp-to-padded-extent equal to clamp-to-true-extent).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from acmmp_tpu.config import PatchMatchParams
+from acmmp_tpu.ops import ncc as ncc_ops
+
+TILE_H = 8
+TILE_W = 128
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+def _ref_side(ref_img: jax.Array, params: PatchMatchParams):
+    """Per-tap ref values & bilateral weights and the ref-side ZNCC sums
+    (pure jnp; static shifts, fused by XLA)."""
+    taps = ncc_ops.tap_weights_spatial(params)
+    inv_2sc2 = 1.0 / (2.0 * params.sigma_color ** 2)
+    w_list, wr_list = [], []
+    sum_w = 0.0
+    sum_ref = 0.0
+    sum_ref_ref = 0.0
+    for di, dj, w_spatial in taps:
+        ref_pix = ncc_ops._shift_edge(ref_img, dj, di)
+        w = w_spatial * jnp.exp(-jnp.abs(ref_pix - ref_img) * inv_2sc2)
+        w_list.append(w)
+        wr_list.append(w * ref_pix)
+        sum_w = sum_w + w
+        sum_ref = sum_ref + w * ref_pix
+        sum_ref_ref = sum_ref_ref + w * ref_pix * ref_pix
+    w_taps = jnp.stack(w_list)        # [T, H, W]
+    wr_taps = jnp.stack(wr_list)      # [T, H, W]
+    refsums = jnp.stack([sum_w, sum_ref, sum_ref_ref])  # [3, H, W]
+    return w_taps, wr_taps, refsums
+
+
+def multiview_zncc_pallas(
+    ref_img: jax.Array,       # [H, W] edge-padded, H%8==0, W%128==0
+    src_imgs: jax.Array,      # [V, Hs, Ws] edge-padded
+    vg: ncc_ops.ViewGeometry,
+    planes: jax.Array,        # [K, H, W, 4] camera-frame plane hypotheses
+    params: PatchMatchParams,
+) -> jax.Array:
+    """Per-view bilateral ZNCC costs, [K, H, W, V]."""
+    assert planes.ndim == 4, "pallas path expects a leading hypothesis axis"
+    K = planes.shape[0]
+    H, W = ref_img.shape
+    V, Hs, Ws = src_imgs.shape
+    Hs_p, Ws_p = _round_up(Hs, TILE_H), _round_up(Ws, TILE_W)
+    if (Hs_p, Ws_p) != (Hs, Ws):
+        src_imgs = jnp.pad(src_imgs, ((0, 0), (0, Hs_p - Hs), (0, Ws_p - Ws)),
+                           mode="edge")
+
+    taps = ncc_ops.tap_weights_spatial(params)
+    T = len(taps)
+    w_taps, wr_taps, refsums = _ref_side(ref_img, params)
+
+    m = jnp.einsum("ij,khwj->khwi", vg.KrT, planes[..., :3],
+                   precision=jax.lax.Precision.HIGHEST)
+    inv_w = 1.0 / planes[..., 3]
+    mfield = jnp.concatenate([m, inv_w[..., None]], axis=-1)  # [K,H,W,4]
+    mfield = jnp.transpose(mfield, (0, 3, 1, 2))              # [K,4,H,W]
+
+    A = vg.A.astype(jnp.float32)            # [V, 3, 3]
+    B = vg.B.astype(jnp.float32)            # [V, 3]
+    swh = jnp.stack([vg.src_width.astype(jnp.float32),
+                     vg.src_height.astype(jnp.float32)], axis=-1)  # [V, 2]
+
+    grid = (K, V, H // TILE_H, W // TILE_W)
+    cost_max = params.cost_max
+    min_var = params.min_var
+
+    def kernel(a_ref, b_ref, swh_ref, src_ref, m_ref, w_ref, wr_ref,
+               rs_ref, out_ref):
+        v = pl.program_id(1)
+        ti = pl.program_id(2)
+        tj = pl.program_id(3)
+        yy = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+              + ti * TILE_H).astype(jnp.float32)
+        xx = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+              + tj * TILE_W).astype(jnp.float32)
+
+        sw = swh_ref[v, 0]
+        sh = swh_ref[v, 1]
+        a00, a01, a02 = a_ref[v, 0, 0], a_ref[v, 0, 1], a_ref[v, 0, 2]
+        a10, a11, a12 = a_ref[v, 1, 0], a_ref[v, 1, 1], a_ref[v, 1, 2]
+        a20, a21, a22 = a_ref[v, 2, 0], a_ref[v, 2, 1], a_ref[v, 2, 2]
+        b0, b1, b2 = b_ref[v, 0], b_ref[v, 1], b_ref[v, 2]
+        m0 = m_ref[0, 0]
+        m1 = m_ref[0, 1]
+        m2 = m_ref[0, 2]
+        iw = m_ref[0, 3]
+
+        # center warp + in-bounds test (true extents)
+        mqc = (m0 * xx + m1 * yy + m2) * iw
+        pzc = a20 * xx + a21 * yy + a22 - b2 * mqc
+        cx = (a00 * xx + a01 * yy + a02 - b0 * mqc) / pzc
+        cy = (a10 * xx + a11 * yy + a12 - b1 * mqc) / pzc
+        in_bounds = (cx >= 0.0) & (cx < sw) & (cy >= 0.0) & (cy < sh)
+
+        sum_w = rs_ref[0, 0]
+        sum_ref = rs_ref[0, 1]
+        sum_ref_ref = rs_ref[0, 2]
+        sum_src = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        sum_src_src = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        sum_ref_src = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+
+        for t, (di, dj, _ws) in enumerate(taps):
+            qx = xx + jnp.float32(di)
+            qy = yy + jnp.float32(dj)
+            mq = (m0 * qx + m1 * qy + m2) * iw
+            px = a00 * qx + a01 * qy + a02 - b0 * mq
+            py = a10 * qx + a11 * qy + a12 - b1 * mq
+            pz = a20 * qx + a21 * qy + a22 - b2 * mq
+            inv_pz = 1.0 / pz
+            sx = jnp.clip(jnp.nan_to_num(px * inv_pz), 0.0, Ws_p - 1.0)
+            sy = jnp.clip(jnp.nan_to_num(py * inv_pz), 0.0, Hs_p - 1.0)
+            xf = jnp.floor(sx)
+            yf = jnp.floor(sy)
+            fx = sx - xf
+            fy = sy - yf
+            xi = xf.astype(jnp.int32)
+            yi = yf.astype(jnp.int32)
+
+            # dynamic scan bounds for this tap (rows yi..yi+1, cols xi..xi+1)
+            row_lo = jnp.min(yi)
+            n_rows = jnp.max(yi) - row_lo + 2          # includes yi+1 row
+            col_lo = jnp.min(xi) // TILE_W
+            # xi+1 can spill into the next column chunk; clamp to the last
+            # real chunk (the spilled corner has fx == 0 there — see below)
+            col_hi = jnp.minimum((jnp.max(xi) + 1) // TILE_W,
+                                 Ws_p // TILE_W - 1)
+            n_cols = col_hi + 1 - col_lo
+
+            def scan_body(i, carry):
+                top, bot = carry
+                # dy uses the LOGICAL row; the slice row is clamped (the
+                # only clamped case is logical row == Hs_p, where dy == 0
+                # cannot match, so nothing double-counts)
+                row = row_lo + i // n_cols
+                row_c = jnp.minimum(row, Hs_p - 1)
+                c0 = (col_lo + i % n_cols) * TILE_W
+                # sublane loads must be 8-aligned: load the aligned chunk,
+                # then pick the row with a uniform-index take_along_axis
+                base = (row_c // TILE_H) * TILE_H
+                chunk = src_ref[v, pl.ds(base, TILE_H), pl.ds(c0, TILE_W)]
+                rowv = jnp.take_along_axis(
+                    chunk,
+                    jnp.full((TILE_H, TILE_W), row_c - base, jnp.int32),
+                    axis=0)
+                xl = xi - c0
+                xl1 = xl + 1
+                g0 = jnp.take_along_axis(rowv, jnp.clip(xl, 0, TILE_W - 1),
+                                         axis=1)
+                g1 = jnp.take_along_axis(rowv, jnp.clip(xl1, 0, TILE_W - 1),
+                                         axis=1)
+                c0v = g0 * (1.0 - fx)
+                c1v = g1 * fx
+                in0 = (xl >= 0) & (xl < TILE_W)
+                in1 = (xl1 >= 0) & (xl1 < TILE_W)
+                dy = yi - row
+                top = top + jnp.where((dy == 0) & in0, c0v, 0.0) \
+                          + jnp.where((dy == 0) & in1, c1v, 0.0)
+                bot = bot + jnp.where((dy == -1) & in0, c0v, 0.0) \
+                          + jnp.where((dy == -1) & in1, c1v, 0.0)
+                return (top, bot)
+
+            zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            top, bot = jax.lax.fori_loop(0, n_rows * n_cols, scan_body,
+                                         (zero, zero))
+            # bottom edge: yi+1 beyond the padded extent interpolates with
+            # itself (fy there is 0 after the clip anyway)
+            at_edge = yi >= (Hs_p - 1)
+            val = top * (1.0 - fy) + jnp.where(at_edge, top, bot) * fy
+
+            wt = w_ref[0, t]
+            sum_src = sum_src + wt * val
+            sum_src_src = sum_src_src + wt * val * val
+            sum_ref_src = sum_ref_src + wr_ref[0, t] * val
+
+        inv_sum_w = 1.0 / sum_w
+        mean_ref = sum_ref * inv_sum_w
+        mean_src = sum_src * inv_sum_w
+        var_ref = sum_ref_ref * inv_sum_w - mean_ref * mean_ref
+        var_src = sum_src_src * inv_sum_w - mean_src * mean_src
+        covar = sum_ref_src * inv_sum_w - mean_ref * mean_src
+        denom = jnp.sqrt(jnp.maximum(var_ref * var_src, 1e-30))
+        ncc = jnp.clip(1.0 - covar / denom, 0.0, cost_max)
+        degenerate = (var_ref < min_var) | (var_src < min_var)
+        cost = jnp.where(degenerate, cost_max, ncc)
+        out_ref[0, 0] = jnp.where(in_bounds, cost, cost_max)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # A [V,3,3]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # B [V,3]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # swh [V,2]
+            pl.BlockSpec((V, Hs_p, Ws_p), lambda k, v, i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),   # src (resident)
+            pl.BlockSpec((1, 4, TILE_H, TILE_W),
+                         lambda k, v, i, j: (k, 0, i, j),
+                         memory_space=pltpu.VMEM),   # m-field tile
+            pl.BlockSpec((1, T, TILE_H, TILE_W),
+                         lambda k, v, i, j: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),   # w taps tile
+            pl.BlockSpec((1, T, TILE_H, TILE_W),
+                         lambda k, v, i, j: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),   # w*ref taps tile
+            pl.BlockSpec((1, 3, TILE_H, TILE_W),
+                         lambda k, v, i, j: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),   # ref sums tile
+        ],
+        out_specs=pl.BlockSpec((1, 1, TILE_H, TILE_W),
+                               lambda k, v, i, j: (k, v, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, V, H, W), jnp.float32),
+    )(A, B, swh, src_imgs, mfield, w_taps[None], wr_taps[None],
+      refsums[None], )
+
+    return jnp.transpose(out, (0, 2, 3, 1))  # [K, H, W, V]

@@ -1,0 +1,64 @@
+"""Pallas warped-ZNCC kernel vs the jnp oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from acmmp_tpu.config import PatchMatchParams
+from acmmp_tpu.core import geometry as geo
+from acmmp_tpu.engine.inputs import build_solver_inputs
+from acmmp_tpu.ops import ncc as ncc_ops
+from acmmp_tpu.ops import sampling as samp_ops
+from acmmp_tpu.ops.pallas_ncc import multiview_zncc_pallas
+
+from .util import textured_plane_scene
+
+PARAMS = PatchMatchParams()
+
+
+def _setup(width=128, height=32, n_views=3):
+    images, cams, plane_z = textured_plane_scene(
+        n_views=n_views, width=width, height=height)
+    inputs = build_solver_inputs(images[0], images[1:], cams[0], cams[1:],
+                                 PARAMS)
+    vg = ncc_ops.make_view_geometry(inputs.ref_cam, inputs.src_cams)
+    H, W = inputs.ref_img.shape
+    x, y = geo.pixel_grid(H, W)
+    return inputs, vg, x, y, plane_z
+
+
+def _compare(planes, inputs, vg, atol=2e-3):
+    oracle = ncc_ops.multiview_zncc(
+        inputs.ref_img, inputs.src_imgs, vg, planes, PARAMS)
+    with pltpu.force_tpu_interpret_mode():
+        got = multiview_zncc_pallas(
+            inputs.ref_img, inputs.src_imgs, vg, planes, PARAMS)
+    a, b = np.asarray(got), np.asarray(oracle)
+    assert a.shape == b.shape
+    bad = np.abs(a - b) > atol + 1e-3 * np.abs(b)
+    assert bad.mean() < 1e-3, (
+        f"{bad.mean():.5f} of costs differ; max |d|={np.abs(a - b).max()}")
+
+
+def test_matches_oracle_smooth_plane():
+    inputs, vg, x, y, plane_z = _setup()
+    # the true plane: coherent warp fields (the common case)
+    n = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]),
+                         x.shape + (3,))
+    n_cam = geo.normal_world_to_cam(inputs.ref_cam, n)
+    depth = jnp.full(x.shape, plane_z)
+    planes = geo.plane_from_depth_normal(inputs.ref_cam, x, y, depth, n_cam)
+    _compare(planes[None], inputs, vg)
+
+
+def test_matches_oracle_random_planes():
+    inputs, vg, x, y, _ = _setup()
+    # per-pixel random hypotheses: worst-case scattered warp fields
+    k1, k2 = jax.random.split(jax.random.key(3))
+    p1 = samp_ops.random_plane(k1, inputs.ref_cam, x, y,
+                               inputs.depth_min, inputs.depth_max)
+    p2 = samp_ops.random_plane(k2, inputs.ref_cam, x, y,
+                               inputs.depth_min, inputs.depth_max)
+    _compare(jnp.stack([p1, p2]), inputs, vg)
