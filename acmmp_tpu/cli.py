@@ -5,6 +5,10 @@ Subcommands mirror the reference's executables and scripts:
   fuse           ./fuse_data <dense_folder> ...    (main_fusion.cpp:7-95)
   convert-colmap colmap2mvsnet_acm.py
   eval-dtu       matlab_analysis/dtu eval          (eval/dtu.py)
+  select-cams    select_dtu_cams.py
+  make-priors    run_dtu_analysis.py's prior sampling (public equivalent)
+  analyze-dtu    run_dtu_analysis.py / evaluate_dtu_structure.py
+  make-synthetic make_alex.py / make_blank_random.py fixtures
 """
 
 from __future__ import annotations
@@ -90,6 +94,47 @@ def main(argv=None):
     pe.add_argument("--max_dist", type=float, default=60.0)
     pe.add_argument("--json", action="store_true")
 
+    ps = sub.add_parser("select-cams",
+                        help="build a reduced dense folder from a camera "
+                             "subset (select_dtu_cams equivalent)")
+    ps.add_argument("src")
+    ps.add_argument("dst")
+    ps.add_argument("--cams", required=True,
+                    help="comma-separated source camera indices")
+    ps.add_argument("--min_angle", type=float, default=3.0)
+    ps.add_argument("--max_angle", type=float, default=120.0)
+    ps.add_argument("--max_n_view", type=int, default=9)
+    ps.add_argument("--seed", type=int, default=42)
+
+    pp = sub.add_parser("make-priors",
+                        help="render seeded-init priors from a fused PLY")
+    pp.add_argument("dense_folder")
+    pp.add_argument("--ply", required=True, help="point cloud to sample")
+
+    pa = sub.add_parser("analyze-dtu",
+                        help="DTU experiment grid: scans x camera subsets x "
+                             "method variants (run_dtu_analysis equivalent)")
+    pa.add_argument("scans_root")
+    pa.add_argument("out_root")
+    pa.add_argument("--cam_counts", default="2,3,5,9")
+    pa.add_argument("--gt_root", default=None,
+                    help="dir of <scan>.ply ground-truth clouds; enables "
+                         "metric scoring + paired stats")
+    pa.add_argument("--plot_dir", default=None,
+                    help="write metric plots here (needs --gt_root)")
+
+    pm = sub.add_parser("make-synthetic",
+                        help="write a synthetic plane dense folder "
+                             "(make_alex equivalent fixture)")
+    pm.add_argument("dst")
+    pm.add_argument("--n_views", type=int, default=4)
+    pm.add_argument("--width", type=int, default=64)
+    pm.add_argument("--height", type=int, default=48)
+    pm.add_argument("--plane_z", type=float, default=5.0)
+    pm.add_argument("--random_priors", action="store_true",
+                    help="also write random prior PNGs "
+                         "(make_blank_random equivalent)")
+
     args = parser.parse_args(argv)
 
     if args.cmd == "reconstruct":
@@ -143,6 +188,83 @@ def main(argv=None):
         else:
             for k, v in metrics.items():
                 print(f"{k}: {v:.4f}")
+    elif args.cmd == "select-cams":
+        from acmmp_tpu.experiments.select_cams import (
+            ReconParams, setup_from_source,
+        )
+
+        cams = [int(c) for c in args.cams.split(",")]
+        params = ReconParams(minangle=args.min_angle, maxangle=args.max_angle,
+                             max_n_view=args.max_n_view)
+        setup_from_source(cams, args.src, args.dst, params, seed=args.seed)
+        print(args.dst)
+    elif args.cmd == "make-priors":
+        import glob
+
+        from PIL import Image as PILImage
+
+        from acmmp_tpu.experiments.prior_sampler import (
+            write_priors_from_points,
+        )
+        from acmmp_tpu.io import read_ply
+        from acmmp_tpu.io.dense_folder import read_cam_txt
+
+        pts, _, _ = read_ply(args.ply)
+        cams = []
+        cam_files = sorted(
+            glob.glob(os.path.join(args.dense_folder, "cams", "*_cam.txt")))
+        imgs = sorted(
+            glob.glob(os.path.join(args.dense_folder, "images", "*")))
+        for cf, imf in zip(cam_files, imgs):
+            cam = read_cam_txt(cf)
+            with PILImage.open(imf) as im:
+                cam.width, cam.height = im.size
+            cams.append(cam)
+        write_priors_from_points(args.dense_folder, pts, cams)
+        print(os.path.join(args.dense_folder, "priors"))
+    elif args.cmd == "analyze-dtu":
+        import glob
+
+        import numpy as np
+
+        from acmmp_tpu.eval.stats import paired_tests
+        from acmmp_tpu.experiments.dtu_analysis import analyze_dtu_scans
+        from acmmp_tpu.io import read_ply
+
+        gt = None
+        if args.gt_root:
+            gt = {}
+            for p in glob.glob(os.path.join(args.gt_root, "*.ply")):
+                name = os.path.splitext(os.path.basename(p))[0]
+                gt[name], _, _ = read_ply(p)
+        table = analyze_dtu_scans(
+            args.scans_root, args.out_root,
+            cam_counts=[int(c) for c in args.cam_counts.split(",")],
+            gt_points=gt)
+        if gt:
+            for metric in ("acc_median", "completeness_median"):
+                for a, b, diff, p in paired_tests(table, metric):
+                    print(f"{metric}: {a} vs {b}: mean diff {diff:+.4f} "
+                          f"p_adj={p:.4f}")
+            if args.plot_dir:
+                from acmmp_tpu.experiments.visualize import plot_metric_vs_cams
+
+                for metric in ("acc_median", "completeness_median"):
+                    out = plot_metric_vs_cams(
+                        table, metric,
+                        os.path.join(args.plot_dir, f"{metric}.png"))
+                    print(out)
+    elif args.cmd == "make-synthetic":
+        from acmmp_tpu.experiments.fixtures import (
+            write_random_priors, write_synthetic_dense_folder,
+        )
+
+        write_synthetic_dense_folder(
+            args.dst, n_views=args.n_views, width=args.width,
+            height=args.height, plane_z=args.plane_z)
+        if args.random_priors:
+            write_random_priors(args.dst)
+        print(args.dst)
     return 0
 
 

@@ -1,0 +1,105 @@
+"""Headless metric visualization.
+
+Replaces python_scripts/visualise_DTU_metrics.py / visualise_dtu_metrics_2.py
+/ visualise_point_number.py (seaborn/pyvista there): accuracy/completeness
+box+strip plots per method vs camera count, and per-method point-count
+ratios, written as PNGs with the matplotlib Agg backend (no display)."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+from acmmp_tpu.eval.dtu import METRIC_NAMES  # noqa: E402
+from acmmp_tpu.eval.stats import MetricTable  # noqa: E402
+
+
+def plot_metric_vs_cams(table: MetricTable, metric: str, out_path: str,
+                        title: Optional[str] = None) -> str:
+    """Box + strip plot of one metric per method, grouped by camera count
+    (the layout of visualise_dtu_metrics_2.py)."""
+    mi = METRIC_NAMES.index(metric)
+    methods = table.methods()
+    ncams = sorted({c for (_, _, c) in table.rows})
+    fig, ax = plt.subplots(figsize=(1.8 * max(len(ncams), 1) + 2, 4.5))
+    width = 0.8 / max(len(methods), 1)
+    colors = plt.cm.tab10.colors
+    for m_i, method in enumerate(methods):
+        xs, ys = [], []
+        for c_i, ncam in enumerate(ncams):
+            vals = [v[mi] for (m, s, c), v in table.rows.items()
+                    if m == method and c == ncam]
+            if not vals:
+                continue
+            pos = c_i + (m_i - (len(methods) - 1) / 2) * width
+            ax.boxplot([vals], positions=[pos], widths=width * 0.9,
+                       patch_artist=True,
+                       boxprops=dict(facecolor=colors[m_i % 10], alpha=0.4),
+                       medianprops=dict(color="black"), showfliers=False)
+            jitter = (np.random.default_rng(0).random(len(vals)) - 0.5) * width * 0.5
+            ax.scatter(pos + jitter, vals, s=12, color=colors[m_i % 10],
+                       zorder=3, label=method if c_i == 0 else None)
+            xs.append(pos)
+            ys.append(np.median(vals))
+    ax.set_xticks(range(len(ncams)))
+    ax.set_xticklabels([str(c) for c in ncams])
+    ax.set_xlabel("number of cameras")
+    ax.set_ylabel(metric)
+    ax.set_title(title or metric)
+    ax.legend(loc="best", fontsize=8)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
+def plot_point_counts(counts: Dict[str, Dict[int, float]], out_path: str,
+                      baseline_method: Optional[str] = None) -> str:
+    """Per-method fused point counts vs camera count; with a baseline
+    method, ratios against it (visualise_point_number.py)."""
+    fig, ax = plt.subplots(figsize=(6, 4))
+    base = counts.get(baseline_method, None) if baseline_method else None
+    for method, per_cam in sorted(counts.items()):
+        ncams = sorted(per_cam)
+        vals = [per_cam[c] / base[c] if base and c in base and base[c] > 0
+                else per_cam[c] for c in ncams]
+        ax.plot(ncams, vals, marker="o", label=method)
+    ax.set_xlabel("number of cameras")
+    ax.set_ylabel("points" + (f" / {baseline_method}" if base else ""))
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
+def plot_depth_map(depth: np.ndarray, out_path: str, cost=None) -> str:
+    """Depth (and optional cost) image dump — the headless analog of the
+    reference's DEBUG imshow windows (src/ACMMP.cu:1356-1376)."""
+    n = 2 if cost is not None else 1
+    fig, axes = plt.subplots(1, n, figsize=(6 * n, 4.5))
+    axes = np.atleast_1d(axes)
+    d = np.asarray(depth)
+    im = axes[0].imshow(np.where(d > 0, d, np.nan), cmap="turbo")
+    fig.colorbar(im, ax=axes[0], shrink=0.8)
+    axes[0].set_title("depth")
+    if cost is not None:
+        im = axes[1].imshow(np.asarray(cost), cmap="magma")
+        fig.colorbar(im, ax=axes[1], shrink=0.8)
+        axes[1].set_title("cost")
+    for a in axes:
+        a.set_axis_off()
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path

@@ -157,7 +157,14 @@ def load_image_color(path) -> np.ndarray:
 
 
 def resize_image(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
-    """Bilinear resize (cv::INTER_LINEAR equivalent)."""
+    """Bilinear resize with OpenCV's half-pixel convention (the reference
+    uses cv::resize INTER_LINEAR, ACMMP.cpp:187-190). Native OpenMP kernel
+    when available, PIL fallback."""
+    from acmmp_tpu import native
+
+    out = native.resize_bilinear_native(img, new_h, new_w)
+    if out is not None:
+        return out
     pil = PILImage.fromarray(img)
     out = pil.resize((new_w, new_h), PILImage.BILINEAR)
     return np.asarray(out, dtype=img.dtype)

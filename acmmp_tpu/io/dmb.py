@@ -14,6 +14,11 @@ _DMB_TYPE_FLOAT = 1
 
 
 def read_dmb(path) -> np.ndarray:
+    from acmmp_tpu import native
+
+    out = native.read_dmb_native(str(path))
+    if out is not None:
+        return out
     with open(path, "rb") as f:
         header = np.fromfile(f, dtype="<i4", count=4)
         if header.size != 4:
@@ -35,6 +40,10 @@ def write_dmb(path, arr: np.ndarray) -> None:
         h, w, nb = arr.shape
     else:
         raise ValueError(f"dmb arrays are 2D or 3D, got shape {arr.shape}")
+    from acmmp_tpu import native
+
+    if native.write_dmb_native(str(path), arr):
+        return
     with open(path, "wb") as f:
         np.array([_DMB_TYPE_FLOAT, h, w, nb], dtype="<i4").tofile(f)
         arr.astype("<f4").tofile(f)

@@ -25,6 +25,11 @@ def write_ply(path, points: np.ndarray, normals: np.ndarray, colors: np.ndarray)
     normals = np.asarray(normals, dtype=np.float32)
     colors = np.asarray(colors)
     n = points.shape[0]
+    from acmmp_tpu import native
+
+    if native.write_ply_native(str(path), points, normals,
+                               colors.astype(np.uint8, copy=False)):
+        return
     # non-finite coordinates are zeroed like the reference (ACMMP.cpp:415-419)
     bad = ~np.isfinite(points).all(axis=1)
     if bad.any():

@@ -40,8 +40,7 @@ def write_prior_pngs(dense_folder: str, image_id: int, depth: np.ndarray,
     rng = max(depth_max - depth_min, 1e-12)
     d16 = np.clip((depth - depth_min) / rng * 65535.0, 0, 65535).astype(np.uint16)
     n16 = np.clip((normal + 1.0) * 65536.0 / 2.0, 0, 65535).astype(np.uint16)
-    PILImage.fromarray(d16, mode="I;16").save(
-        os.path.join(ddir, f"{image_id:08d}.png"))
+    PILImage.fromarray(d16).save(os.path.join(ddir, f"{image_id:08d}.png"))
     # 3-channel 16-bit normals need cv2 (PIL has no 16-bit RGB)
     import cv2
 

@@ -24,7 +24,20 @@ def geom_consistency_cost(
     y: jax.Array,             # [H, W]
     params: PatchMatchParams,
 ) -> jax.Array:
-    """Returns [..., H, W, V] clamped reprojection errors."""
+    """Returns [..., H, W, V] clamped reprojection errors.
+
+    Backend dispatch mirrors ops.ncc.multiview_zncc: on TPU the Pallas
+    kernel (ops/pallas_geom.py) replaces the XLA-gather depth sampling.
+    """
+    use_pallas = params.ncc_backend == "pallas" or (
+        params.ncc_backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas and planes.ndim == 4:
+        from acmmp_tpu.ops.pallas_geom import geom_consistency_cost_pallas
+
+        return geom_consistency_cost_pallas(
+            ref_cam, src_cams, src_depths, planes, params)
+
     max_cost = params.geom_cost_max
     depth = geo.depth_from_plane(ref_cam, planes, x, y)          # [..., H, W]
     Xw = geo.world_point(ref_cam, x, y, depth)                   # [..., H, W, 3]

@@ -136,6 +136,9 @@ def process_problem(
     params = cfg.patchmatch
     problem = problems[idx]
     rid = problem.ref_image_id
+    if not problem.src_image_ids:
+        log.warning("view %08d has no source views (pair.txt); skipping", rid)
+        return
     rdir = result_dir(output_folder, rid)
     os.makedirs(rdir, exist_ok=True)
     id2prob = {p.ref_image_id: p for p in problems}

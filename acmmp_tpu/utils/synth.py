@@ -63,7 +63,9 @@ def textured_plane_scene(
     images: List[np.ndarray] = []
     offsets = np.linspace(-0.25, 0.25, n_views)
     for i in range(n_views):
-        eye = np.array([offsets[i], 0.06 * (i % 2), 0.0])
+        # distinct, small y offsets: no camera pair is exactly axis-aligned,
+        # so no source coordinate sits on a truncation tie across the image
+        eye = np.array([offsets[i], 0.013 * i + 0.004 * (i % 2), 0.0])
         cam = look_at_camera(eye, eye + np.array([0.0, 0.0, 1.0]), f=f,
                              width=width, height=height,
                              depth_min=depth_min, depth_max=depth_max)
