@@ -178,13 +178,17 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
     wt, ht = cam.width, cam.height
     k_view, k_refine = jax.random.split(key)
 
+    # tile shards pass global-coordinate grids; the NCC rebuilds its own
+    # grids internally, so hand it the tile origin
+    origin = (y[0, 0], x[0, 0])
+
     # ---- adaptive checkerboard sampling: 8 candidate planes ----
     cand_planes, flags = prop_ops.best_neighbor_planes(
         state.costs, state.planes, x, y, wt, ht, params
     )
     planes9 = jnp.concatenate([cand_planes, state.planes[None]], axis=0)
     ncc9 = ncc_ops.multiview_zncc(inputs.ref_img, inputs.src_imgs, vg,
-                                  planes9, params)          # [9, H, W, V]
+                                  planes9, params, origin=origin)  # [9,H,W,V]
     geom9 = None
     if mode.geom_consistency:
         geom9 = geom_consistency_cost(cam, inputs.src_cams, inputs.src_depths,
@@ -288,7 +292,7 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
                         normal_now])
     planes5 = geo.plane_from_depth_normal(cam, x, y, cand_d, cand_n)
     ncc5 = ncc_ops.multiview_zncc(inputs.ref_img, inputs.src_imgs, vg,
-                                  planes5, params)
+                                  planes5, params, origin=origin)
     geom5 = None
     if mode.geom_consistency:
         geom5 = geom_consistency_cost(cam, inputs.src_cams, inputs.src_depths,

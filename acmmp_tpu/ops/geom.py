@@ -36,7 +36,8 @@ def geom_consistency_cost(
         from acmmp_tpu.ops.pallas_geom import geom_consistency_cost_pallas
 
         return geom_consistency_cost_pallas(
-            ref_cam, src_cams, src_depths, planes, params)
+            ref_cam, src_cams, src_depths, planes, params,
+            origin=(y[0, 0], x[0, 0]))
 
     max_cost = params.geom_cost_max
     depth = geo.depth_from_plane(ref_cam, planes, x, y)          # [..., H, W]

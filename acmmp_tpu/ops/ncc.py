@@ -62,6 +62,8 @@ def multiview_zncc(
     vg: ViewGeometry,
     planes: jax.Array,       # [..., H, W, 4] camera-frame plane hypotheses
     params: PatchMatchParams,
+    origin=None,             # (y0, x0) of ref_img's top-left pixel in the
+                             # full image (tile shards carry a row offset)
 ) -> jax.Array:
     """Per-view bilateral ZNCC costs for each plane hypothesis field.
 
@@ -80,11 +82,16 @@ def multiview_zncc(
 
         if planes.ndim == 3:
             return multiview_zncc_pallas(
-                ref_img, src_imgs, vg, planes[None], params)[0]
-        return multiview_zncc_pallas(ref_img, src_imgs, vg, planes, params)
+                ref_img, src_imgs, vg, planes[None], params,
+                origin=origin)[0]
+        return multiview_zncc_pallas(ref_img, src_imgs, vg, planes, params,
+                                     origin=origin)
 
     H, W = ref_img.shape
     x, y = geo.pixel_grid(H, W)
+    if origin is not None:
+        y = y + origin[0]
+        x = x + origin[1]
     cost_max = params.cost_max
 
     # rank-1 homography piece per hypothesis: m = Kr^{-T} n, shape [..., H, W, 3]

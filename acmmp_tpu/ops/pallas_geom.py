@@ -52,6 +52,7 @@ def geom_consistency_cost_pallas(
     src_depths: jax.Array,    # [V, Hs, Ws] depth maps (0 = invalid)
     planes: jax.Array,        # [K, H, W, 4]
     params: PatchMatchParams,
+    origin=None,              # (y0, x0) offset of the planes tile
 ) -> jax.Array:
     """Returns [K, H, W, V] clamped reprojection errors."""
     assert planes.ndim == 4
@@ -67,9 +68,15 @@ def geom_consistency_cost_pallas(
     Mb = jax.vmap(lambda sc: _chain_matrix(sc, ref_cam))(src_cams)  # [V,3,4]
     swh = jnp.stack([src_cams.width.astype(jnp.float32),
                      src_cams.height.astype(jnp.float32)], axis=-1)
-    # ref-camera intrinsics for plane -> depth
+    # ref-camera intrinsics for plane -> depth, plus the tile origin
     Kr = ref_cam.K
-    kparams = jnp.stack([Kr[0, 0], Kr[1, 1], Kr[0, 2], Kr[1, 2]])
+    if origin is None:
+        oy = jnp.float32(0.0)
+        ox = jnp.float32(0.0)
+    else:
+        oy = jnp.asarray(origin[0], jnp.float32)
+        ox = jnp.asarray(origin[1], jnp.float32)
+    kparams = jnp.stack([Kr[0, 0], Kr[1, 1], Kr[0, 2], Kr[1, 2], oy, ox])
 
     planes_t = jnp.transpose(planes, (0, 3, 1, 2))      # [K,4,H,W]
     grid = (K, V, H // TILE_H, W // TILE_W)
@@ -80,9 +87,9 @@ def geom_consistency_cost_pallas(
         ti = pl.program_id(2)
         tj = pl.program_id(3)
         yy = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
-              + ti * TILE_H).astype(jnp.float32)
+              + ti * TILE_H).astype(jnp.float32) + kp_ref[4]
         xx = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
-              + tj * TILE_W).astype(jnp.float32)
+              + tj * TILE_W).astype(jnp.float32) + kp_ref[5]
 
         fx, fy, cx, cy = kp_ref[0], kp_ref[1], kp_ref[2], kp_ref[3]
         nx = pl_ref[0, 0]
@@ -118,7 +125,7 @@ def geom_consistency_cost_pallas(
             row = row_lo + i // n_cols
             c0 = (col_lo + i % n_cols) * TILE_W
             base = (row // TILE_H) * TILE_H
-            chunk = sd_ref[v, pl.ds(base, TILE_H), pl.ds(c0, TILE_W)]
+            chunk = sd_ref[0, pl.ds(base, TILE_H), pl.ds(c0, TILE_W)]
             rowv = jnp.take_along_axis(
                 chunk, jnp.full((TILE_H, TILE_W), row - base, jnp.int32),
                 axis=0)
@@ -157,8 +164,9 @@ def geom_consistency_cost_pallas(
             pl.BlockSpec((1, 4, TILE_H, TILE_W),
                          lambda k, v, i, j: (k, 0, i, j),
                          memory_space=pltpu.VMEM),   # planes tile
-            pl.BlockSpec((V, Hs_p, Ws_p), lambda k, v, i, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),   # src depths (resident)
+            # one view's depth map resident at a time (VMEM at full-res)
+            pl.BlockSpec((1, Hs_p, Ws_p), lambda k, v, i, j: (v, 0, 0),
+                         memory_space=pltpu.VMEM),   # src depth view block
         ],
         out_specs=pl.BlockSpec((1, 1, TILE_H, TILE_W),
                                lambda k, v, i, j: (k, v, i, j),

@@ -71,13 +71,16 @@ def multiview_zncc_pallas(
     vg: ncc_ops.ViewGeometry,
     planes: jax.Array,        # [K, H, W, 4] camera-frame plane hypotheses
     params: PatchMatchParams,
+    force_bf16: bool = False,  # testing hook for the large-image layout
+    origin=None,               # (y0, x0) scalar offset of the ref tile
 ) -> jax.Array:
     """Per-view bilateral ZNCC costs, [K, H, W, V]."""
     assert planes.ndim == 4, "pallas path expects a leading hypothesis axis"
     K = planes.shape[0]
     H, W = ref_img.shape
     V, Hs, Ws = src_imgs.shape
-    Hs_p, Ws_p = _round_up(Hs, TILE_H), _round_up(Ws, TILE_W)
+    # 16-row alignment: bf16 sublane tiles are (16, 128)
+    Hs_p, Ws_p = _round_up(Hs, 16), _round_up(Ws, TILE_W)
     if (Hs_p, Ws_p) != (Hs, Ws):
         src_imgs = jnp.pad(src_imgs, ((0, 0), (0, Hs_p - Hs), (0, Ws_p - Ws)),
                            mode="edge")
@@ -85,6 +88,16 @@ def multiview_zncc_pallas(
     taps = ncc_ops.tap_weights_spatial(params)
     T = len(taps)
     w_taps, wr_taps, refsums = _ref_side(ref_img, params)
+
+    # VMEM layout (static per shape): small scenes keep all views resident
+    # in f32 (fastest scan: one aligned 8-row load + row gather); large
+    # scenes hold ONE view at a time in bf16 — images are 8-bit grayscale,
+    # exact in bf16, and the reference's CUDA textures interpolate uint8 at
+    # ~9-bit weight precision, so this is at least as precise — which fits
+    # a DTU full-res view in VMEM with double-buffering.
+    all_resident = (V * Hs_p * Ws_p * 4 <= 6 * 1024 * 1024
+                    and not force_bf16)
+    src_dev = src_imgs if all_resident else src_imgs.astype(jnp.bfloat16)
 
     m = jnp.einsum("ij,khwj->khwi", vg.KrT, planes[..., :3],
                    precision=jax.lax.Precision.HIGHEST)
@@ -96,20 +109,25 @@ def multiview_zncc_pallas(
     B = vg.B.astype(jnp.float32)            # [V, 3]
     swh = jnp.stack([vg.src_width.astype(jnp.float32),
                      vg.src_height.astype(jnp.float32)], axis=-1)  # [V, 2]
+    if origin is None:
+        org = jnp.zeros((2,), jnp.float32)
+    else:
+        org = jnp.stack([jnp.asarray(origin[0], jnp.float32),
+                         jnp.asarray(origin[1], jnp.float32)])
 
     grid = (K, V, H // TILE_H, W // TILE_W)
     cost_max = params.cost_max
     min_var = params.min_var
 
-    def kernel(a_ref, b_ref, swh_ref, src_ref, m_ref, w_ref, wr_ref,
+    def kernel(a_ref, b_ref, swh_ref, org_ref, src_ref, m_ref, w_ref, wr_ref,
                rs_ref, out_ref):
         v = pl.program_id(1)
         ti = pl.program_id(2)
         tj = pl.program_id(3)
         yy = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
-              + ti * TILE_H).astype(jnp.float32)
+              + ti * TILE_H).astype(jnp.float32) + org_ref[0]
         xx = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
-              + tj * TILE_W).astype(jnp.float32)
+              + tj * TILE_W).astype(jnp.float32) + org_ref[1]
 
         sw = swh_ref[v, 0]
         sh = swh_ref[v, 1]
@@ -171,14 +189,28 @@ def multiview_zncc_pallas(
                 row = row_lo + i // n_cols
                 row_c = jnp.minimum(row, Hs_p - 1)
                 c0 = (col_lo + i % n_cols) * TILE_W
-                # sublane loads must be 8-aligned: load the aligned chunk,
-                # then pick the row with a uniform-index take_along_axis
-                base = (row_c // TILE_H) * TILE_H
-                chunk = src_ref[v, pl.ds(base, TILE_H), pl.ds(c0, TILE_W)]
-                rowv = jnp.take_along_axis(
-                    chunk,
-                    jnp.full((TILE_H, TILE_W), row_c - base, jnp.int32),
-                    axis=0)
+                if all_resident:
+                    # f32: aligned 8-row load + uniform-index row gather
+                    base = (row_c // TILE_H) * TILE_H
+                    chunk = src_ref[v, pl.ds(base, TILE_H),
+                                    pl.ds(c0, TILE_W)]
+                    rowv = jnp.take_along_axis(
+                        chunk,
+                        jnp.full((TILE_H, TILE_W), row_c - base, jnp.int32),
+                        axis=0)
+                else:
+                    # bf16 tiles are 16 rows and Mosaic's dynamic row gather
+                    # spans one 8-row f32 vreg: load 16 rows, pick the half
+                    # with the (uniform) scalar row index, convert, gather
+                    base = (row_c // 16) * 16
+                    rl = row_c - base
+                    c16 = src_ref[0, pl.ds(base, 16), pl.ds(c0, TILE_W)]
+                    half = jnp.where(rl < TILE_H, c16[:TILE_H],
+                                     c16[TILE_H:]).astype(jnp.float32)
+                    rowv = jnp.take_along_axis(
+                        half,
+                        jnp.full((TILE_H, TILE_W), rl % TILE_H, jnp.int32),
+                        axis=0)
                 xl = xi - c0
                 xl1 = xl + 1
                 g0 = jnp.take_along_axis(rowv, jnp.clip(xl, 0, TILE_W - 1),
@@ -228,8 +260,15 @@ def multiview_zncc_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),   # A [V,3,3]
             pl.BlockSpec(memory_space=pltpu.SMEM),   # B [V,3]
             pl.BlockSpec(memory_space=pltpu.SMEM),   # swh [V,2]
-            pl.BlockSpec((V, Hs_p, Ws_p), lambda k, v, i, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),   # src (resident)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # origin [2]
+            (pl.BlockSpec((V, Hs_p, Ws_p), lambda k, v, i, j: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+             if all_resident else
+             # one source view resident at a time (v changes every HT*WT
+             # grid steps), bf16: a DTU full-res view fits in VMEM with
+             # double-buffering
+             pl.BlockSpec((1, Hs_p, Ws_p), lambda k, v, i, j: (v, 0, 0),
+                          memory_space=pltpu.VMEM)),  # src block
             pl.BlockSpec((1, 4, TILE_H, TILE_W),
                          lambda k, v, i, j: (k, 0, i, j),
                          memory_space=pltpu.VMEM),   # m-field tile
@@ -247,7 +286,7 @@ def multiview_zncc_pallas(
                                lambda k, v, i, j: (k, v, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((K, V, H, W), jnp.float32),
-    )(A, B, swh, src_imgs, mfield, w_taps[None], wr_taps[None],
+    )(A, B, swh, org, src_dev, mfield, w_taps[None], wr_taps[None],
       refsums[None], )
 
     return jnp.transpose(out, (0, 2, 3, 1))  # [K, H, W, V]

@@ -131,8 +131,12 @@ def best_neighbor_planes(
             idx = jnp.argmin(cand_costs, axis=0)  # [H, W]
         dxs = jnp.asarray([c[0] for c in cands], jnp.int32)[idx]
         dys = jnp.asarray([c[1] for c in cands], jnp.int32)[idx]
-        gx = jnp.clip(x.astype(jnp.int32) + dxs, 0, W - 1)
-        gy = jnp.clip(y.astype(jnp.int32) + dys, 0, H - 1)
+        # gather in ARRAY-LOCAL indices (x/y may carry a tile offset and are
+        # only used for the true-bounds validity above)
+        yl = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        xl = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        gx = jnp.clip(xl + dxs, 0, W - 1)
+        gy = jnp.clip(yl + dys, 0, H - 1)
         cand_planes.append(planes_flat[(gy * W + gx).reshape(-1)].reshape(H, W, 4))
         flags.append(valids[0])
     return jnp.stack(cand_planes), jnp.stack(flags)

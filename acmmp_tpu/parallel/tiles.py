@@ -1,0 +1,190 @@
+"""Image-domain (tile) sharding with halo exchange — for single views too
+large for one chip's step budget.
+
+The reference's CUDA grid is a per-pixel map with a bounded stencil: the
+adaptive checkerboard propagation reads at most 23 rows/cols away (far
+strips reach 3 + 2*10, src/ACMMP.cu:819-827), joint view selection reads
+the 4-adjacent pixels' selections, and the median filter reads a 5-px
+cross. Sharding the image rows across chips therefore needs a 23-row halo
+of (planes, costs, selected) refreshed before every half-sweep — the MVS
+analog of sequence parallelism (SURVEY.md §2.3). Halos move with
+`lax.ppermute` over the mesh axis (nearest ICI neighbors); source images
+are replicated (read-only texture state).
+
+Scope: photometric and geometric-consistency modes (the planar-prior /
+seeded modes run view-sharded instead — their host-side triangulation is
+per-view anyway).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from acmmp_tpu.config import PatchMatchParams
+from acmmp_tpu.core import geometry as geo
+from acmmp_tpu.engine.patchmatch import (
+    Mode, SolverInputs, SolverOutputs, SolverState, _sweep,
+)
+from acmmp_tpu.ops import ncc as ncc_ops
+from acmmp_tpu.ops.median import checkerboard_median
+
+TILE_AXIS = "tile"
+HALO = 24  # >= 23-px stencil reach, rounded to a multiple of 8
+
+
+def make_tile_mesh(n_devices=None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (TILE_AXIS,))
+
+
+def _exchange_halos(arr: jax.Array, n: int):
+    """(top_halo, bot_halo) for this shard: the last HALO rows of the upper
+    neighbor and the first HALO rows of the lower neighbor. Edge shards get
+    zero halos (their pixels fail the true-bounds checks downstream)."""
+    idx = jax.lax.axis_index(TILE_AXIS)
+    down = [(i, (i + 1) % n) for i in range(n)]   # my rows -> next shard
+    up = [(i, (i - 1) % n) for i in range(n)]
+    from_above = jax.lax.ppermute(arr[-HALO:], TILE_AXIS, down)
+    from_below = jax.lax.ppermute(arr[:HALO], TILE_AXIS, up)
+    shape1 = (1,) * from_above.ndim
+    top = jnp.where((idx > 0).reshape(shape1), from_above, 0)
+    bot = jnp.where((idx < n - 1).reshape(shape1), from_below, 0)
+    return top.astype(arr.dtype), bot.astype(arr.dtype)
+
+
+def _ext(local, top, bot):
+    return jnp.concatenate([top, local, bot], axis=0)
+
+
+@partial(jax.jit, static_argnames=("params", "mode", "mesh"))
+def _tile_solve_impl(inputs: SolverInputs, key, params, mode, mesh):
+    H, W = inputs.ref_img.shape
+    Pn = mesh.devices.size
+
+    zero_hw = jnp.zeros((H, W), jnp.float32)
+    init_d = inputs.init_depth if inputs.init_depth is not None else zero_hw
+    init_n = (inputs.init_normal_world
+              if inputs.init_normal_world is not None
+              else jnp.zeros((H, W, 3), jnp.float32))
+    init_c = inputs.init_cost if inputs.init_cost is not None else zero_hw
+    # replicated operands (everything that is not a per-pixel row field)
+    repl = inputs._replace(ref_img=None, init_depth=None,
+                           init_normal_world=None, init_cost=None,
+                           prior_planes=None, prior_mask=None,
+                           seed_planes=None, pre_costs=None)
+
+    def local_solve(repl, ref_rows, init_d, init_n, init_c, key):
+        rows = ref_rows.shape[0]
+        idx = jax.lax.axis_index(TILE_AXIS)
+        y0 = (idx * rows).astype(jnp.float32)
+        y_l = jax.lax.broadcasted_iota(jnp.float32, (rows, W), 0) + y0
+        x_l = jax.lax.broadcasted_iota(jnp.float32, (rows, W), 1)
+        cam = repl.ref_cam
+        vg = ncc_ops.make_view_geometry(cam, repl.src_cams)
+
+        # ---- init on local rows ----
+        from acmmp_tpu.ops import sampling as samp_ops
+
+        k_init, k_sweeps = jax.random.split(key)
+        k_init = jax.random.fold_in(k_init, idx)
+        if mode.geom_consistency:
+            n_cam = geo.normal_world_to_cam(cam, init_n)
+            planes0 = geo.plane_from_depth_normal(cam, x_l, y_l, init_d,
+                                                  n_cam)
+        else:
+            planes0 = samp_ops.random_plane(
+                k_init, cam, x_l, y_l, repl.depth_min, repl.depth_max)
+        per_view = ncc_ops.multiview_zncc(
+            ref_rows, repl.src_imgs, vg, planes0, params,
+            origin=(y_l[0, 0], x_l[0, 0]))
+        costs0, selected0 = ncc_ops.initial_cost_and_views(
+            per_view, repl.view_mask, params)
+        state = SolverState(planes=planes0, costs=costs0, selected=selected0,
+                            pre_costs=costs0)
+
+        # ---- sweeps on the halo-extended tile ----
+        x_e = jax.lax.broadcasted_iota(jnp.float32, (rows + 2 * HALO, W), 1)
+        y_e = (jax.lax.broadcasted_iota(jnp.float32, (rows + 2 * HALO, W), 0)
+               + y0 - HALO)
+        black_e = (x_e.astype(jnp.int32) + y_e.astype(jnp.int32)) % 2 == 0
+        rt, rb = _exchange_halos(ref_rows, Pn)
+        ext_inputs = repl._replace(ref_img=_ext(ref_rows, rt, rb))
+
+        for s in range(2 * params.max_iterations):
+            pt, pb = _exchange_halos(state.planes, Pn)
+            ct, cb = _exchange_halos(state.costs, Pn)
+            st, sb = _exchange_halos(state.selected, Pn)
+            ext_state = SolverState(
+                planes=_ext(state.planes, pt, pb),
+                costs=_ext(state.costs, ct, cb),
+                selected=_ext(state.selected, st, sb),
+                pre_costs=_ext(state.pre_costs, ct, cb),
+            )
+            parity = black_e if s % 2 == 0 else ~black_e
+            k = jax.random.fold_in(jax.random.fold_in(k_sweeps, s), idx)
+            new_ext = _sweep(ext_state, ext_inputs, vg, x_e, y_e, parity,
+                             jnp.float32(s // 2), k, params, mode)
+            state = SolverState(
+                planes=new_ext.planes[HALO:HALO + rows],
+                costs=new_ext.costs[HALO:HALO + rows],
+                selected=new_ext.selected[HALO:HALO + rows],
+                pre_costs=state.pre_costs,
+            )
+
+        # ---- finalize with depth halos for the median stencil ----
+        depth = geo.depth_from_plane(cam, state.planes, x_l, y_l)
+        normal_world = geo.normal_cam_to_world(cam, state.planes[..., :3])
+        dt, db = _exchange_halos(depth, Pn)
+        ct2, cb2 = _exchange_halos(state.costs, Pn)
+        d_e = _ext(depth, dt, db)
+        c_e = _ext(state.costs, ct2, cb2)
+        d_e = checkerboard_median(d_e, c_e, x_e, y_e, cam.width, cam.height,
+                                  black_e, params)
+        d_e = checkerboard_median(d_e, c_e, x_e, y_e, cam.width, cam.height,
+                                  ~black_e, params)
+        return SolverOutputs(depth=d_e[HALO:HALO + rows],
+                             normal_world=normal_world,
+                             cost=state.costs, pre_costs=state.pre_costs)
+
+    rows_spec = P(TILE_AXIS)
+    repl_specs = jax.tree.map(lambda _: P(), repl)
+    out_specs = SolverOutputs(depth=rows_spec, normal_world=rows_spec,
+                              cost=rows_spec, pre_costs=rows_spec)
+    fn = shard_map(
+        local_solve, mesh=mesh,
+        in_specs=(repl_specs, rows_spec, rows_spec, rows_spec, rows_spec,
+                  P()),
+        out_specs=out_specs, check_rep=False)
+    return fn(repl, inputs.ref_img, init_d, init_n, init_c, key)
+
+
+def tile_sharded_patchmatch(
+    mesh: Mesh,
+    inputs: SolverInputs,
+    key: jax.Array,
+    params: PatchMatchParams,
+    mode: Mode,
+) -> SolverOutputs:
+    """Full PatchMatch solve for ONE view with the image rows sharded over
+    the mesh. H must be divisible by 8 * mesh size. Matches run_patchmatch
+    up to RNG stream (keys fold in the shard index) and the zero halos at
+    the outer image edges (masked by the true-bounds checks)."""
+    assert not (mode.planar_prior or mode.seeded or mode.hierarchy), (
+        "tile sharding covers photometric/geometric modes; others run "
+        "view-sharded")
+    H, W = inputs.ref_img.shape
+    Pn = mesh.devices.size
+    assert H % (8 * Pn) == 0, (H, Pn)
+    assert H // Pn >= HALO, (
+        f"shards must be at least {HALO} rows tall (halo reach); "
+        f"got {H // Pn} rows/shard")
+    return _tile_solve_impl(inputs, key, params, mode, mesh)

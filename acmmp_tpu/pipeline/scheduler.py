@@ -38,7 +38,7 @@ from acmmp_tpu.io.dense_folder import (
 )
 from acmmp_tpu.io.priors import load_seed_planes, priors_available
 from acmmp_tpu.ops.jbu import jbu_depth_jit, jbu_normal_cost
-from acmmp_tpu.utils.log import get_logger, stage_metrics
+from acmmp_tpu.utils.log import get_logger, profiled, stage_metrics
 
 log = get_logger("scheduler")
 
@@ -249,7 +249,12 @@ def joint_bilateral_upsampling(dense_folder: str, output_folder: str,
 
 def run_pipeline(dense_folder: str, cfg: PipelineConfig) -> str:
     """Full reconstruction: the reference CLI main (main_ACMMP.cpp:9-198).
-    Returns the written PLY path."""
+    Returns the written PLY path. Set ACMMP_TPU_PROFILE=<dir> for a
+    jax.profiler trace of the whole run."""
+    import time as _time
+
+    t_start = _time.time()
+    n_solves = 0
     problems = generate_sample_list(dense_folder)
     log.info("There are %d problems to process", len(problems))
     max_num_downscale = compute_multiscale_settings(
@@ -279,12 +284,14 @@ def run_pipeline(dense_folder: str, cfg: PipelineConfig) -> str:
 
         if first_scale:
             first_scale = False
-            for i in range(len(problems)):
-                process_problem(
-                    dense_folder, output_folder, problems, i, cfg, loader,
-                    geom_consistency=False, planar_prior=cfg.planar_prior,
-                    hierarchy=False, seeded=prior, pass_tag=tag,
-                )
+            with profiled(f"photometric_s{scale}"):
+                for i in range(len(problems)):
+                    process_problem(
+                        dense_folder, output_folder, problems, i, cfg, loader,
+                        geom_consistency=False, planar_prior=cfg.planar_prior,
+                        hierarchy=False, seeded=prior, pass_tag=tag,
+                    )
+            n_solves += len(problems)
             tag += 1
         else:
             log.info("Starting JBU")
@@ -292,21 +299,25 @@ def run_pipeline(dense_folder: str, cfg: PipelineConfig) -> str:
                 joint_bilateral_upsampling(
                     dense_folder, output_folder, p, p.cur_image_size, cfg,
                     loader)
-            for i in range(len(problems)):
-                process_problem(
-                    dense_folder, output_folder, problems, i, cfg, loader,
-                    geom_consistency=False, planar_prior=cfg.planar_prior,
-                    hierarchy=True, pass_tag=tag,
-                )
+            with profiled(f"hierarchy_s{scale}"):
+                for i in range(len(problems)):
+                    process_problem(
+                        dense_folder, output_folder, problems, i, cfg, loader,
+                        geom_consistency=False, planar_prior=cfg.planar_prior,
+                        hierarchy=True, pass_tag=tag,
+                    )
+            n_solves += len(problems)
             tag += 1
         for geom_iter in range(cfg.geom_iterations):
-            for i in range(len(problems)):
-                process_problem(
-                    dense_folder, output_folder, problems, i, cfg, loader,
-                    geom_consistency=True, planar_prior=False,
-                    hierarchy=False, multi_geometry=geom_iter > 0,
-                    pass_tag=tag,
-                )
+            with profiled(f"geometric_s{scale}_i{geom_iter}"):
+                for i in range(len(problems)):
+                    process_problem(
+                        dense_folder, output_folder, problems, i, cfg, loader,
+                        geom_consistency=True, planar_prior=False,
+                        hierarchy=False, multi_geometry=geom_iter > 0,
+                        pass_tag=tag,
+                    )
+            n_solves += len(problems)
             tag += 1
         scale -= 1
 
@@ -323,5 +334,9 @@ def run_pipeline(dense_folder: str, cfg: PipelineConfig) -> str:
             dense_folder, output_folder, problems, geom_consistency=True,
             fp=cfg.fusion, image_dir=cfg.image_dir, mask_dir=cfg.mask_dir,
         )
+    elapsed = _time.time() - t_start
     log.info("wrote %s", ply)
+    # the BASELINE throughput metric: depth-map solves per second
+    log.info("pipeline: %d solves in %.1fs (%.3f depth-maps/s)",
+             n_solves, elapsed, n_solves / max(elapsed, 1e-9))
     return ply

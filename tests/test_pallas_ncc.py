@@ -29,12 +29,19 @@ def _setup(width=128, height=32, n_views=3):
     return inputs, vg, x, y, plane_z
 
 
-def _compare(planes, inputs, vg, atol=2e-3):
+def _compare(planes, inputs, vg, atol=2e-3, force_bf16=False):
+    # in the large-image layout the kernel stores source pixels as bf16;
+    # give the oracle the same quantized pixels so the comparison isolates
+    # the kernel logic
+    src_o = inputs.src_imgs
+    if force_bf16:
+        src_o = src_o.astype(jnp.bfloat16).astype(jnp.float32)
     oracle = ncc_ops.multiview_zncc(
-        inputs.ref_img, inputs.src_imgs, vg, planes, PARAMS)
+        inputs.ref_img, src_o, vg, planes, PARAMS)
     with pltpu.force_tpu_interpret_mode():
         got = multiview_zncc_pallas(
-            inputs.ref_img, inputs.src_imgs, vg, planes, PARAMS)
+            inputs.ref_img, inputs.src_imgs, vg, planes, PARAMS,
+            force_bf16=force_bf16)
     a, b = np.asarray(got), np.asarray(oracle)
     assert a.shape == b.shape
     bad = np.abs(a - b) > atol + 1e-3 * np.abs(b)
@@ -62,3 +69,14 @@ def test_matches_oracle_random_planes():
     p2 = samp_ops.random_plane(k2, inputs.ref_cam, x, y,
                                inputs.depth_min, inputs.depth_max)
     _compare(jnp.stack([p1, p2]), inputs, vg)
+
+
+def test_matches_oracle_bf16_layout():
+    """The large-image layout (bf16, one view resident) must match the
+    oracle on bf16-quantized pixels."""
+    inputs, vg, x, y, plane_z = _setup()
+    n = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), x.shape + (3,))
+    n_cam = geo.normal_world_to_cam(inputs.ref_cam, n)
+    planes = geo.plane_from_depth_normal(
+        inputs.ref_cam, x, y, jnp.full(x.shape, plane_z), n_cam)
+    _compare(planes[None], inputs, vg, force_bf16=True)
