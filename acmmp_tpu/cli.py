@@ -71,6 +71,11 @@ def main(argv=None):
     pr.add_argument("--seed", type=int, default=0, help="RNG seed")
     pr.add_argument("--max_image_size", type=int, default=3200)
     pr.add_argument("--no_planar_prior", action="store_true")
+    pr.add_argument("--view_batch", type=int, default=1,
+                    help="reference views solved per dispatch (vmapped); "
+                         "--mesh shards the batch over all local devices")
+    pr.add_argument("--mesh", action="store_true",
+                    help="shard view batches over a device mesh")
 
     pf = sub.add_parser("fuse", help="fusion only, from existing .dmb outputs")
     _add_common_fusion_flags(pf)
@@ -123,6 +128,13 @@ def main(argv=None):
     pa.add_argument("--plot_dir", default=None,
                     help="write metric plots here (needs --gt_root)")
 
+    pd = sub.add_parser("display-cams",
+                        help="3D plot of camera poses (+ optional cloud) "
+                             "to a PNG (display_dtu_cams equivalent)")
+    pd.add_argument("dense_folder")
+    pd.add_argument("--out", default="cams.png")
+    pd.add_argument("--ply", default=None)
+
     pm = sub.add_parser("make-synthetic",
                         help="write a synthetic plane dense folder "
                              "(make_alex equivalent fixture)")
@@ -143,7 +155,14 @@ def main(argv=None):
         cfg = _cfg_from_args(args, prior=args.prior)
         if args.no_planar_prior:
             cfg = dataclasses.replace(cfg, planar_prior=False)
-        ply = run_pipeline(args.dense_folder, cfg)
+        if args.view_batch > 1:
+            cfg = dataclasses.replace(cfg, view_batch=args.view_batch)
+        mesh = None
+        if args.mesh:
+            from acmmp_tpu.parallel import make_view_mesh
+
+            mesh = make_view_mesh()
+        ply = run_pipeline(args.dense_folder, cfg, mesh=mesh)
         print(ply)
     elif args.cmd == "fuse":
         from acmmp_tpu.engine.fusion import run_fusion, run_prior_aware_fusion
@@ -254,6 +273,20 @@ def main(argv=None):
                         table, metric,
                         os.path.join(args.plot_dir, f"{metric}.png"))
                     print(out)
+    elif args.cmd == "display-cams":
+        import glob
+
+        from acmmp_tpu.experiments.visualize import plot_cameras
+        from acmmp_tpu.io.dense_folder import read_cam_txt
+
+        cams = [read_cam_txt(p) for p in sorted(
+            glob.glob(os.path.join(args.dense_folder, "cams", "*_cam.txt")))]
+        pts = None
+        if args.ply:
+            from acmmp_tpu.io import read_ply
+
+            pts, _, _ = read_ply(args.ply)
+        print(plot_cameras(cams, args.out, points=pts))
     elif args.cmd == "make-synthetic":
         from acmmp_tpu.experiments.fixtures import (
             write_random_priors, write_synthetic_dense_folder,

@@ -132,3 +132,7 @@ class PipelineConfig:
     # round image dims up to multiples of (pad_h, pad_w) to bound recompiles
     pad_h: int = 8
     pad_w: int = 128
+    # solve this many reference views per dispatch (vmapped stages); >1
+    # enables the batched executor; a mesh passed to run_pipeline shards
+    # the batch over its "view" axis
+    view_batch: int = 1

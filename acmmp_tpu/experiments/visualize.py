@@ -82,6 +82,35 @@ def plot_point_counts(counts: Dict[str, Dict[int, float]], out_path: str,
     return out_path
 
 
+def plot_cameras(cams, out_path: str, points: Optional[np.ndarray] = None,
+                 axis_len: float = 0.5) -> str:
+    """3D plot of camera positions and optical axes (+ optional point-cloud
+    subsample) — the headless analog of display_dtu_cams.py's pyvista
+    renderer. `cams` is a sequence of objects with .R and .t."""
+    fig = plt.figure(figsize=(6, 6))
+    ax = fig.add_subplot(projection="3d")
+    for i, cam in enumerate(cams):
+        R = np.asarray(cam.R)
+        t = np.asarray(cam.t)
+        center = -R.T @ t
+        axis = R[2] * axis_len          # optical axis in world coords
+        ax.scatter(*center, color="tab:red", s=30)
+        ax.quiver(*center, *axis, color="tab:blue", arrow_length_ratio=0.2)
+        ax.text(*center, f" {i}", fontsize=8)
+    if points is not None and len(points):
+        sub = points[:: max(len(points) // 2000, 1)]
+        ax.scatter(sub[:, 0], sub[:, 1], sub[:, 2], s=1, alpha=0.3,
+                   color="gray")
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    ax.set_zlabel("z")
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
 def plot_depth_map(depth: np.ndarray, out_path: str, cost=None) -> str:
     """Depth (and optional cost) image dump — the headless analog of the
     reference's DEBUG imshow windows (src/ACMMP.cu:1356-1376)."""

@@ -116,26 +116,28 @@ def geom_consistency_cost_pallas(
         ui = jnp.clip(jnp.nan_to_num(u), 0.0, sw - 1.0).astype(jnp.int32)
         wi = jnp.clip(jnp.nan_to_num(w_), 0.0, sh - 1.0).astype(jnp.int32)
 
-        row_lo = jnp.min(wi)
-        n_rows = jnp.max(wi) - row_lo + 1
+        # chunked scan (8 rows/iteration): Mosaic loop overhead dominates
+        # single-row bodies
+        rb_lo = jnp.min(wi) // TILE_H
+        n_rb = jnp.max(wi) // TILE_H + 1 - rb_lo
         col_lo = jnp.min(ui) // TILE_W
         n_cols = jnp.max(ui) // TILE_W + 1 - col_lo
 
         def scan_body(i, sd):
-            row = row_lo + i // n_cols
+            r0 = (rb_lo + i // n_cols) * TILE_H
             c0 = (col_lo + i % n_cols) * TILE_W
-            base = (row // TILE_H) * TILE_H
-            chunk = sd_ref[0, pl.ds(base, TILE_H), pl.ds(c0, TILE_W)]
-            rowv = jnp.take_along_axis(
-                chunk, jnp.full((TILE_H, TILE_W), row - base, jnp.int32),
-                axis=0)
+            chunk = sd_ref[0, pl.ds(r0, TILE_H), pl.ds(c0, TILE_W)]
             xl = ui - c0
-            g = jnp.take_along_axis(rowv, jnp.clip(xl, 0, TILE_W - 1), axis=1)
-            hit = (wi == row) & (xl >= 0) & (xl < TILE_W)
-            return jnp.where(hit, g, sd)
+            inx = (xl >= 0) & (xl < TILE_W)
+            xc = jnp.clip(xl, 0, TILE_W - 1)
+            for r in range(TILE_H):
+                rowv = jnp.broadcast_to(chunk[r:r + 1, :], (TILE_H, TILE_W))
+                g = jnp.take_along_axis(rowv, xc, axis=1)
+                sd = jnp.where((wi == r0 + r) & inx, g, sd)
+            return sd
 
         sd = jax.lax.fori_loop(
-            0, n_rows * n_cols, scan_body,
+            0, n_rb * n_cols, scan_body,
             jnp.zeros((TILE_H, TILE_W), jnp.float32))
 
         # back-project via Mb with the sampled coords (reference uses the

@@ -171,65 +171,56 @@ def multiview_zncc_pallas(
             xi = xf.astype(jnp.int32)
             yi = yf.astype(jnp.int32)
 
-            # dynamic scan bounds for this tap (rows yi..yi+1, cols xi..xi+1)
-            row_lo = jnp.min(yi)
-            n_rows = jnp.max(yi) - row_lo + 2          # includes yi+1 row
+            # dynamic scan bounds for this tap: 8-row chunks covering rows
+            # yi..yi+1, column chunks covering xi..xi+1. Chunked scanning
+            # (8 rows per loop iteration, unrolled row select) is ~2-5x
+            # faster than per-row iterations: Mosaic's while-loop overhead
+            # dominates single-row bodies.
+            rb_lo = jnp.min(yi) // TILE_H
+            rb_hi = jnp.minimum(jnp.max(yi) + 1, Hs_p - 1) // TILE_H
+            n_rb = rb_hi + 1 - rb_lo
             col_lo = jnp.min(xi) // TILE_W
             # xi+1 can spill into the next column chunk; clamp to the last
-            # real chunk (the spilled corner has fx == 0 there — see below)
+            # real chunk (the spilled corner has fx == 0 there)
             col_hi = jnp.minimum((jnp.max(xi) + 1) // TILE_W,
                                  Ws_p // TILE_W - 1)
             n_cols = col_hi + 1 - col_lo
 
             def scan_body(i, carry):
                 top, bot = carry
-                # dy uses the LOGICAL row; the slice row is clamped (the
-                # only clamped case is logical row == Hs_p, where dy == 0
-                # cannot match, so nothing double-counts)
-                row = row_lo + i // n_cols
-                row_c = jnp.minimum(row, Hs_p - 1)
+                r0 = (rb_lo + i // n_cols) * TILE_H
                 c0 = (col_lo + i % n_cols) * TILE_W
                 if all_resident:
-                    # f32: aligned 8-row load + uniform-index row gather
-                    base = (row_c // TILE_H) * TILE_H
-                    chunk = src_ref[v, pl.ds(base, TILE_H),
-                                    pl.ds(c0, TILE_W)]
-                    rowv = jnp.take_along_axis(
-                        chunk,
-                        jnp.full((TILE_H, TILE_W), row_c - base, jnp.int32),
-                        axis=0)
+                    chunk = src_ref[v, pl.ds(r0, TILE_H), pl.ds(c0, TILE_W)]
                 else:
-                    # bf16 tiles are 16 rows and Mosaic's dynamic row gather
-                    # spans one 8-row f32 vreg: load 16 rows, pick the half
-                    # with the (uniform) scalar row index, convert, gather
-                    base = (row_c // 16) * 16
-                    rl = row_c - base
+                    # bf16 slices must be 16-row aligned: load the aligned
+                    # pair, keep the half this 8-row chunk addresses
+                    base = (r0 // 16) * 16
                     c16 = src_ref[0, pl.ds(base, 16), pl.ds(c0, TILE_W)]
-                    half = jnp.where(rl < TILE_H, c16[:TILE_H],
-                                     c16[TILE_H:]).astype(jnp.float32)
-                    rowv = jnp.take_along_axis(
-                        half,
-                        jnp.full((TILE_H, TILE_W), rl % TILE_H, jnp.int32),
-                        axis=0)
+                    chunk = jnp.where(r0 == base, c16[:TILE_H],
+                                      c16[TILE_H:]).astype(jnp.float32)
                 xl = xi - c0
                 xl1 = xl + 1
-                g0 = jnp.take_along_axis(rowv, jnp.clip(xl, 0, TILE_W - 1),
-                                         axis=1)
-                g1 = jnp.take_along_axis(rowv, jnp.clip(xl1, 0, TILE_W - 1),
-                                         axis=1)
-                c0v = g0 * (1.0 - fx)
-                c1v = g1 * fx
                 in0 = (xl >= 0) & (xl < TILE_W)
                 in1 = (xl1 >= 0) & (xl1 < TILE_W)
-                dy = yi - row
-                top = top + jnp.where((dy == 0) & in0, c0v, 0.0) \
-                          + jnp.where((dy == 0) & in1, c1v, 0.0)
-                bot = bot + jnp.where((dy == -1) & in0, c0v, 0.0) \
-                          + jnp.where((dy == -1) & in1, c1v, 0.0)
+                xc0 = jnp.clip(xl, 0, TILE_W - 1)
+                xc1 = jnp.clip(xl1, 0, TILE_W - 1)
+                for r in range(TILE_H):
+                    rowv = jnp.broadcast_to(chunk[r:r + 1, :],
+                                            (TILE_H, TILE_W))
+                    g0 = jnp.take_along_axis(rowv, xc0, axis=1)
+                    g1 = jnp.take_along_axis(rowv, xc1, axis=1)
+                    c0v = g0 * (1.0 - fx)
+                    c1v = g1 * fx
+                    dy = yi - (r0 + r)
+                    top = top + jnp.where((dy == 0) & in0, c0v, 0.0) \
+                              + jnp.where((dy == 0) & in1, c1v, 0.0)
+                    bot = bot + jnp.where((dy == -1) & in0, c0v, 0.0) \
+                              + jnp.where((dy == -1) & in1, c1v, 0.0)
                 return (top, bot)
 
             zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-            top, bot = jax.lax.fori_loop(0, n_rows * n_cols, scan_body,
+            top, bot = jax.lax.fori_loop(0, n_rb * n_cols, scan_body,
                                          (zero, zero))
             # bottom edge: yi+1 beyond the padded extent interpolates with
             # itself (fy there is 0 after the clip anyway)

@@ -1,0 +1,112 @@
+"""Batched (and optionally mesh-sharded) execution of per-view solves.
+
+The reference loops reference views sequentially on one GPU
+(src/main_ACMMP.cpp:112-137). Here a whole batch of views runs per
+dispatch: each solver stage (init / half-sweep / finalize) is vmapped over
+the view axis and executed as its own XLA program — the staged structure
+both avoids the XLA:TPU multi-sweep miscompile (see
+engine.patchmatch.run_patchmatch_staged) and is the natural place for
+cross-chip collectives. With a mesh, every stage is shard_mapped over the
+"view" axis, and the geometric pass's neighbor depth maps are gathered
+in-program (lax.all_gather over ICI) instead of re-read from disk.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from acmmp_tpu.config import PatchMatchParams
+from acmmp_tpu.engine.patchmatch import (
+    Mode, SolverInputs, SolverOutputs, finalize, init_state, sweep_once,
+)
+from acmmp_tpu.parallel.sharding import VIEW_AXIS, stack_solver_inputs
+
+_specs = partial(jax.tree.map, lambda _: P(VIEW_AXIS))
+
+
+class BatchedSolver:
+    """Caches jitted vmapped (and shard_mapped) stage programs per
+    (params, mode, shapes). One instance per pipeline run."""
+
+    def __init__(self, params: PatchMatchParams, mesh: Optional[Mesh] = None):
+        self.params = params
+        self.mesh = mesh
+        self._fns = {}
+
+    def _stage_fns(self, mode: Mode):
+        key = mode
+        if key in self._fns:
+            return self._fns[key]
+        params = self.params
+
+        v_init = jax.vmap(lambda i, k: init_state(i, k, params, mode))
+        v_fin = jax.vmap(lambda s, i: finalize(s, i, params))
+
+        def v_sweep(s, i, k, sweep_idx):
+            return jax.vmap(
+                lambda ss, ii, kk: sweep_once(ss, ii, sweep_idx, kk, params,
+                                              mode))(s, i, k)
+
+        if self.mesh is None:
+            fns = (
+                jax.jit(v_init),
+                jax.jit(v_sweep, static_argnames=("sweep_idx",)),
+                jax.jit(v_fin),
+            )
+        else:
+            mesh = self.mesh
+
+            def sm(fn, n_in):
+                def wrapped(*args, **kw):
+                    specs = tuple(_specs(a) for a in args)
+                    return shard_map(
+                        lambda *a: fn(*a, **kw), mesh=mesh,
+                        in_specs=specs,
+                        out_specs=_specs(jax.eval_shape(
+                            lambda *a: fn(*a, **kw), *args)),
+                        check_rep=False)(*args)
+                return wrapped
+
+            fns = (
+                jax.jit(sm(v_init, 2)),
+                jax.jit(lambda s, i, k, sweep_idx: sm(
+                    partial(v_sweep, sweep_idx=sweep_idx), 3)(s, i, k),
+                    static_argnames=("sweep_idx",)),
+                jax.jit(sm(v_fin, 2)),
+            )
+        self._fns[key] = fns
+        return fns
+
+    def pad(self, n: int) -> int:
+        """Batch size after padding to a mesh multiple."""
+        if self.mesh is None:
+            return n
+        m = self.mesh.devices.size
+        return ((n + m - 1) // m) * m
+
+    def solve_batch(self, inputs_list: Sequence[SolverInputs],
+                    keys: Sequence[jax.Array], mode: Mode) -> List[SolverOutputs]:
+        """Solve a batch of same-shape problems; returns per-view outputs
+        (padding replicas dropped)."""
+        n = len(inputs_list)
+        np_ = self.pad(n)
+        padded = list(inputs_list) + [inputs_list[-1]] * (np_ - n)
+        kp = list(keys) + [keys[-1]] * (np_ - n)
+        batch = stack_solver_inputs(padded)
+        kb = jnp.stack(kp)
+
+        f_init, f_sweep, f_fin = self._stage_fns(mode)
+        state = f_init(batch, kb)
+        for s in range(2 * self.params.max_iterations):
+            ks = jax.vmap(lambda k: jax.random.fold_in(k, 1000 + s))(kb)
+            state = f_sweep(state, batch, ks, sweep_idx=s)
+        out = f_fin(state, batch)
+        out = jax.tree.map(np.asarray, out)
+        return [jax.tree.map(lambda a: a[i], out) for i in range(n)]

@@ -116,29 +116,32 @@ def _write_outputs(rdir: str, out: SolverOutputs, h: int, w: int,
     write_dmb(os.path.join(rdir, "costs.dmb"), cost)
 
 
-def process_problem(
-    dense_folder: str,
-    output_folder: str,
-    problems: Sequence[Problem],
-    idx: int,
-    cfg: PipelineConfig,
-    loader: ViewLoader,
-    *,
-    geom_consistency: bool,
-    planar_prior: bool,
-    hierarchy: bool,
-    multi_geometry: bool = False,
-    seeded: bool = False,
-    pass_tag: int = 0,
-) -> None:
-    """One (view, scale, mode) solve + optional planar-prior second solve
-    (ProcessProblem, acmmp_definitions.cpp:245-403)."""
+class _Prepared:
+    """Host-side loaded inputs of one (view, scale, mode) solve."""
+
+    def __init__(self, problem, ref, srcs, inputs, h, w, v_pad, src_depths):
+        self.problem = problem
+        self.ref = ref
+        self.srcs = srcs
+        self.inputs = inputs
+        self.h = h
+        self.w = w
+        self.v_pad = v_pad
+        self.src_depths = src_depths
+
+
+def _prepare_problem(
+    dense_folder, output_folder, problems, idx, cfg, loader,
+    *, geom_consistency, hierarchy, multi_geometry, seeded,
+):
+    """Disk -> SolverInputs for one problem (InputInitialization,
+    src/ACMMP.cpp:525-636). Returns None for skipped (sourceless) views."""
     params = cfg.patchmatch
     problem = problems[idx]
     rid = problem.ref_image_id
     if not problem.src_image_ids:
         log.warning("view %08d has no source views (pair.txt); skipping", rid)
-        return
+        return None
     rdir = result_dir(output_folder, rid)
     os.makedirs(rdir, exist_ok=True)
     id2prob = {p.ref_image_id: p for p in problems}
@@ -191,41 +194,158 @@ def process_problem(
         ref.image, [s.image for s in srcs], ref.cam, [s.cam for s in srcs],
         params, num_views_pad=v_pad, pad_h=cfg.pad_h, pad_w=cfg.pad_w, **kw,
     )
+    return _Prepared(problem, ref, srcs, inputs, h, w, v_pad,
+                     kw.get("src_depths"))
+
+
+def _prior_second_solve_inputs(prep: _Prepared, out, cfg, hierarchy):
+    """Triangulated planar-prior inputs for the second solve, or None
+    (GetSupportPoints..CudaPlanarPriorInitialization,
+    acmmp_definitions.cpp:306-390)."""
+    params = cfg.patchmatch
+    ref = prep.ref
+    h, w = prep.h, prep.w
+    dmin = float(ref.cam.depth_min * params.depth_min_relax)
+    dmax = float(ref.cam.depth_max * params.depth_max_relax)
+    # solver outputs are padded to [Hp, Wp]; triangulation runs on the
+    # true image extent
+    prior_planes, prior_mask = build_planar_prior(
+        ref.cam, out.depth[:h, :w], out.cost[:h, :w], dmin, dmax, w, h,
+    )
+    if prior_planes is None:
+        return None
+    return build_solver_inputs(
+        ref.image, [s.image for s in prep.srcs], ref.cam,
+        [s.cam for s in prep.srcs], params, num_views_pad=prep.v_pad,
+        pad_h=cfg.pad_h, pad_w=cfg.pad_w,
+        init_depth=out.depth, init_normal_world=out.normal_world,
+        init_cost=out.cost, prior_planes=prior_planes,
+        prior_mask=prior_mask,
+        pre_costs=out.pre_costs if hierarchy else None,
+        src_depths=prep.src_depths,
+    )
+
+
+def _problem_key(cfg, rid, pass_tag):
+    return jax.random.fold_in(jax.random.key(cfg.seed), rid * 131 + pass_tag)
+
+
+def process_problem(
+    dense_folder: str,
+    output_folder: str,
+    problems: Sequence[Problem],
+    idx: int,
+    cfg: PipelineConfig,
+    loader: ViewLoader,
+    *,
+    geom_consistency: bool,
+    planar_prior: bool,
+    hierarchy: bool,
+    multi_geometry: bool = False,
+    seeded: bool = False,
+    pass_tag: int = 0,
+) -> None:
+    """One (view, scale, mode) solve + optional planar-prior second solve
+    (ProcessProblem, acmmp_definitions.cpp:245-403)."""
+    params = cfg.patchmatch
+    prep = _prepare_problem(
+        dense_folder, output_folder, problems, idx, cfg, loader,
+        geom_consistency=geom_consistency, hierarchy=hierarchy,
+        multi_geometry=multi_geometry, seeded=seeded)
+    if prep is None:
+        return
+    rid = prep.problem.ref_image_id
     mode = Mode(geom_consistency=geom_consistency, hierarchy=hierarchy,
                 seeded=seeded)
-    key = jax.random.fold_in(jax.random.key(cfg.seed), rid * 131 + pass_tag)
-    out = _solve(inputs, key, params=params, mode=mode)
-    out = jax.tree.map(np.asarray, out)
+    key = _problem_key(cfg, rid, pass_tag)
+    out = jax.tree.map(np.asarray,
+                       _solve(prep.inputs, key, params=params, mode=mode))
 
     if planar_prior:
-        # second solve, regularized by triangulated plane priors
-        dmin = float(ref.cam.depth_min * params.depth_min_relax)
-        dmax = float(ref.cam.depth_max * params.depth_max_relax)
-        # solver outputs are padded to [Hp, Wp]; triangulation runs on the
-        # true image extent
-        prior_planes, prior_mask = build_planar_prior(
-            ref.cam, out.depth[:h, :w], out.cost[:h, :w], dmin, dmax, w, h,
-        )
-        if prior_planes is not None:
-            inputs2 = build_solver_inputs(
-                ref.image, [s.image for s in srcs], ref.cam,
-                [s.cam for s in srcs], params, num_views_pad=v_pad,
-                pad_h=cfg.pad_h, pad_w=cfg.pad_w,
-                init_depth=out.depth, init_normal_world=out.normal_world,
-                init_cost=out.cost, prior_planes=prior_planes,
-                prior_mask=prior_mask,
-                pre_costs=out.pre_costs if hierarchy else None,
-                src_depths=kw.get("src_depths"),
-            )
+        inputs2 = _prior_second_solve_inputs(prep, out, cfg, hierarchy)
+        if inputs2 is not None:
             mode2 = Mode(geom_consistency=geom_consistency,
                          planar_prior=True, hierarchy=hierarchy)
-            key2 = jax.random.fold_in(key, 1)
-            out = jax.tree.map(
-                np.asarray, _solve(inputs2, key2, params=params, mode=mode2)
-            )
+            out = jax.tree.map(np.asarray, _solve(
+                inputs2, jax.random.fold_in(key, 1), params=params,
+                mode=mode2))
 
-    _write_outputs(rdir, out, h, w, geom_consistency)
-    stage_metrics(log, f"view {rid:08d}", out.depth[:h, :w], out.cost[:h, :w])
+    rdir = result_dir(output_folder, rid)
+    _write_outputs(rdir, out, prep.h, prep.w, geom_consistency)
+    stage_metrics(log, f"view {rid:08d}", out.depth[:prep.h, :prep.w],
+                  out.cost[:prep.h, :prep.w])
+
+
+def process_batch(
+    dense_folder: str,
+    output_folder: str,
+    problems: Sequence[Problem],
+    indices: Sequence[int],
+    cfg: PipelineConfig,
+    loader: ViewLoader,
+    solver,                      # pipeline.batched.BatchedSolver
+    *,
+    geom_consistency: bool,
+    planar_prior: bool,
+    hierarchy: bool,
+    multi_geometry: bool = False,
+    seeded: bool = False,
+    pass_tag: int = 0,
+) -> None:
+    """Batched equivalent of process_problem: many views per dispatch,
+    grouped by static shape. The planar-prior second solve batches the
+    subset of views whose triangulation produced priors (the reference
+    skips the second solve for the rest, acmmp_definitions.cpp:318-330)."""
+    params = cfg.patchmatch
+    preps = []
+    for i in indices:
+        p = _prepare_problem(
+            dense_folder, output_folder, problems, i, cfg, loader,
+            geom_consistency=geom_consistency, hierarchy=hierarchy,
+            multi_geometry=multi_geometry, seeded=seeded)
+        if p is not None:
+            preps.append(p)
+    if not preps:
+        return
+    mode = Mode(geom_consistency=geom_consistency, hierarchy=hierarchy,
+                seeded=seeded)
+
+    # group by static shape bucket so each group stacks cleanly
+    def bucket(pp):
+        return (pp.inputs.ref_img.shape, pp.inputs.src_imgs.shape)
+
+    groups: Dict[tuple, list] = {}
+    for pp in preps:
+        groups.setdefault(bucket(pp), []).append(pp)
+
+    for group in groups.values():
+        keys = [_problem_key(cfg, pp.problem.ref_image_id, pass_tag)
+                for pp in group]
+        outs = solver.solve_batch([pp.inputs for pp in group], keys, mode)
+        outs = [jax.tree.map(np.asarray, o) for o in outs]
+
+        if planar_prior:
+            second = []
+            for j, (pp, out) in enumerate(zip(group, outs)):
+                inputs2 = _prior_second_solve_inputs(pp, out, cfg, hierarchy)
+                if inputs2 is not None:
+                    second.append((j, inputs2))
+            if second:
+                mode2 = Mode(geom_consistency=geom_consistency,
+                             planar_prior=True, hierarchy=hierarchy)
+                outs2 = solver.solve_batch(
+                    [inp for _, inp in second],
+                    [jax.random.fold_in(keys[j], 1) for j, _ in second],
+                    mode2)
+                for (j, _), o2 in zip(second, outs2):
+                    outs[j] = jax.tree.map(np.asarray, o2)
+
+        for pp, out in zip(group, outs):
+            rid = pp.problem.ref_image_id
+            _write_outputs(result_dir(output_folder, rid), out, pp.h, pp.w,
+                           geom_consistency)
+            stage_metrics(log, f"view {rid:08d}", out.depth[:pp.h, :pp.w],
+                          out.cost[:pp.h, :pp.w])
 
 
 def joint_bilateral_upsampling(dense_folder: str, output_folder: str,
@@ -247,15 +367,40 @@ def joint_bilateral_upsampling(dense_folder: str, output_folder: str,
     write_dmb(os.path.join(rdir, "depths.dmb"), np.asarray(up))
 
 
-def run_pipeline(dense_folder: str, cfg: PipelineConfig) -> str:
+def run_pipeline(dense_folder: str, cfg: PipelineConfig, mesh=None) -> str:
     """Full reconstruction: the reference CLI main (main_ACMMP.cpp:9-198).
     Returns the written PLY path. Set ACMMP_TPU_PROFILE=<dir> for a
-    jax.profiler trace of the whole run."""
+    jax.profiler trace of the whole run.
+
+    With cfg.view_batch > 1 (or a mesh), views are solved in batches per
+    dispatch; a mesh shards each batch over its "view" axis with the
+    geometric pass's depth maps staying the filesystem contract."""
     import time as _time
 
     t_start = _time.time()
     n_solves = 0
     problems = generate_sample_list(dense_folder)
+
+    solver = None
+    if mesh is not None or cfg.view_batch > 1:
+        from acmmp_tpu.pipeline.batched import BatchedSolver
+
+        solver = BatchedSolver(cfg.patchmatch, mesh)
+
+    def run_views(**mode_kw):
+        if solver is None:
+            for i in range(len(problems)):
+                process_problem(dense_folder, output_folder, problems, i,
+                                cfg, loader, **mode_kw)
+        else:
+            b = max(cfg.view_batch, 1)
+            if mesh is not None:
+                b = max(b, mesh.devices.size)
+            for start in range(0, len(problems), b):
+                process_batch(dense_folder, output_folder, problems,
+                              list(range(start, min(start + b,
+                                                    len(problems)))),
+                              cfg, loader, solver, **mode_kw)
     log.info("There are %d problems to process", len(problems))
     max_num_downscale = compute_multiscale_settings(
         dense_folder, problems, cfg.patchmatch, cfg.image_dir)
@@ -285,12 +430,9 @@ def run_pipeline(dense_folder: str, cfg: PipelineConfig) -> str:
         if first_scale:
             first_scale = False
             with profiled(f"photometric_s{scale}"):
-                for i in range(len(problems)):
-                    process_problem(
-                        dense_folder, output_folder, problems, i, cfg, loader,
-                        geom_consistency=False, planar_prior=cfg.planar_prior,
-                        hierarchy=False, seeded=prior, pass_tag=tag,
-                    )
+                run_views(geom_consistency=False,
+                          planar_prior=cfg.planar_prior,
+                          hierarchy=False, seeded=prior, pass_tag=tag)
             n_solves += len(problems)
             tag += 1
         else:
@@ -300,23 +442,16 @@ def run_pipeline(dense_folder: str, cfg: PipelineConfig) -> str:
                     dense_folder, output_folder, p, p.cur_image_size, cfg,
                     loader)
             with profiled(f"hierarchy_s{scale}"):
-                for i in range(len(problems)):
-                    process_problem(
-                        dense_folder, output_folder, problems, i, cfg, loader,
-                        geom_consistency=False, planar_prior=cfg.planar_prior,
-                        hierarchy=True, pass_tag=tag,
-                    )
+                run_views(geom_consistency=False,
+                          planar_prior=cfg.planar_prior,
+                          hierarchy=True, pass_tag=tag)
             n_solves += len(problems)
             tag += 1
         for geom_iter in range(cfg.geom_iterations):
             with profiled(f"geometric_s{scale}_i{geom_iter}"):
-                for i in range(len(problems)):
-                    process_problem(
-                        dense_folder, output_folder, problems, i, cfg, loader,
-                        geom_consistency=True, planar_prior=False,
-                        hierarchy=False, multi_geometry=geom_iter > 0,
-                        pass_tag=tag,
-                    )
+                run_views(geom_consistency=True, planar_prior=False,
+                          hierarchy=False, multi_geometry=geom_iter > 0,
+                          pass_tag=tag)
             n_solves += len(problems)
             tag += 1
         scale -= 1

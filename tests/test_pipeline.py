@@ -52,3 +52,33 @@ def test_full_pipeline_synthetic(tmp_path):
                                        "depths_geom.dmb"))
     assert os.path.exists(os.path.join(dense, "ACMMP", "2333_00000000",
                                        "normals.dmb"))
+
+
+@pytest.mark.slow
+def test_full_pipeline_batched_mesh(tmp_path):
+    """Batched executor with view sharding over the virtual mesh must match
+    the sequential pipeline's quality."""
+    import jax
+
+    from acmmp_tpu.parallel import make_view_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device platform")
+    images, cams, plane_z = textured_plane_scene(n_views=4, width=64,
+                                                 height=48)
+    dense = write_dense_folder(tmp_path, images, cams)
+    cfg = PipelineConfig(
+        patchmatch=PatchMatchParams(patch_size=7),
+        fusion=FusionParams(num_consistent_thresh=2),
+        pad_h=1, pad_w=1, view_batch=4,
+    )
+    ply = run_pipeline(dense, cfg, mesh=make_view_mesh())
+    pts, normals, colors = read_ply(ply)
+    # batched solves are statistically equivalent per view (verified stage
+    # by stage) but use a different RNG stream; on a 64x48 scene the greedy
+    # fusion consumption amplifies that into large point-count swings, so
+    # assert quality with only a loose count floor
+    assert len(pts) > 30, len(pts)
+    err = np.abs(pts[:, 2] - plane_z)
+    assert np.median(err) < 0.1, np.median(err)
+    assert (err < 0.5).mean() > 0.9
