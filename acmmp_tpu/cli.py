@@ -159,8 +159,11 @@ def main(argv=None):
             cfg = dataclasses.replace(cfg, view_batch=args.view_batch)
         mesh = None
         if args.mesh:
-            from acmmp_tpu.parallel import make_view_mesh
+            from acmmp_tpu.parallel import (
+                make_view_mesh, maybe_init_distributed,
+            )
 
+            maybe_init_distributed()  # multi-host pods, no-op locally
             mesh = make_view_mesh()
         ply = run_pipeline(args.dense_folder, cfg, mesh=mesh)
         print(ply)

@@ -1,5 +1,6 @@
 from acmmp_tpu.parallel.sharding import (
     make_view_mesh,
+    maybe_init_distributed,
     pad_to_multiple,
     stack_solver_inputs,
     view_sharded_geometric_solve,
@@ -8,6 +9,7 @@ from acmmp_tpu.parallel.sharding import (
 
 __all__ = [
     "make_view_mesh",
+    "maybe_init_distributed",
     "pad_to_multiple",
     "stack_solver_inputs",
     "view_sharded_solve",

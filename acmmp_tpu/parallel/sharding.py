@@ -39,6 +39,24 @@ from acmmp_tpu.engine.patchmatch import (
 VIEW_AXIS = "view"
 
 
+def maybe_init_distributed() -> bool:
+    """Initialize jax.distributed for multi-host pods when the standard
+    coordinator env vars are present (JAX_COORDINATOR_ADDRESS or the cloud
+    TPU metadata JAX auto-detects). Safe to call repeatedly. Returns True
+    when running multi-process."""
+    import os
+
+    if jax.process_count() > 1:
+        return True
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "COORDINATOR_ADDRESS"):
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            pass  # already initialized
+    return jax.process_count() > 1
+
+
 def make_view_mesh(n_devices: Optional[int] = None,
                    devices=None) -> Mesh:
     """A 1-D mesh over the view axis. With `n_devices=None` uses every
