@@ -146,6 +146,9 @@ def main(argv=None):
     pm.add_argument("--random_priors", action="store_true",
                     help="also write random prior PNGs "
                          "(make_blank_random equivalent)")
+    pm.add_argument("--relief", action="store_true",
+                    help="non-planar height-field surface instead of the "
+                         "fronto-parallel plane")
 
     args = parser.parse_args(argv)
 
@@ -297,7 +300,7 @@ def main(argv=None):
 
         write_synthetic_dense_folder(
             args.dst, n_views=args.n_views, width=args.width,
-            height=args.height, plane_z=args.plane_z)
+            height=args.height, plane_z=args.plane_z, relief=args.relief)
         if args.random_priors:
             write_random_priors(args.dst)
         print(args.dst)

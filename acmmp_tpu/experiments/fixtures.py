@@ -28,13 +28,20 @@ from acmmp_tpu.utils.synth import textured_plane_scene
 
 def write_synthetic_dense_folder(
     dst: str, n_views: int = 4, width: int = 64, height: int = 48,
-    plane_z: float = 5.0, seed: int = 0,
+    plane_z: float = 5.0, seed: int = 0, relief: bool = False,
 ) -> str:
     os.makedirs(os.path.join(dst, "images"), exist_ok=True)
     os.makedirs(os.path.join(dst, "cams"), exist_ok=True)
-    images, cams, _ = textured_plane_scene(
-        n_views=n_views, width=width, height=height, plane_z=plane_z,
-        seed=seed)
+    if relief:
+        from acmmp_tpu.utils.synth import textured_relief_scene
+
+        images, cams, _ = textured_relief_scene(
+            n_views=n_views, width=width, height=height, base_z=plane_z,
+            seed=seed)
+    else:
+        images, cams, _ = textured_plane_scene(
+            n_views=n_views, width=width, height=height, plane_z=plane_z,
+            seed=seed)
     pairs = []
     for i, (img, cam) in enumerate(zip(images, cams)):
         PILImage.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(
