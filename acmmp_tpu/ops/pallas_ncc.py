@@ -187,7 +187,7 @@ def multiview_zncc_pallas(
             n_cols = col_hi + 1 - col_lo
 
             def scan_body(i, carry):
-                top, bot = carry
+                acc = carry
                 r0 = (rb_lo + i // n_cols) * TILE_H
                 c0 = (col_lo + i % n_cols) * TILE_W
                 if all_resident:
@@ -201,31 +201,28 @@ def multiview_zncc_pallas(
                                       c16[TILE_H:]).astype(jnp.float32)
                 xl = xi - c0
                 xl1 = xl + 1
-                in0 = (xl >= 0) & (xl < TILE_W)
-                in1 = (xl1 >= 0) & (xl1 < TILE_W)
+                # fold the column bilinear weights with the in-chunk masks:
+                # lanes outside this chunk contribute 0, and contributions
+                # accumulate across chunks (x0/x1 can straddle a boundary)
+                a0 = jnp.where((xl >= 0) & (xl < TILE_W), 1.0 - fx, 0.0)
+                a1 = jnp.where((xl1 >= 0) & (xl1 < TILE_W), fx, 0.0)
                 xc0 = jnp.clip(xl, 0, TILE_W - 1)
                 xc1 = jnp.clip(xl1, 0, TILE_W - 1)
+                r0f = jnp.float32(0.0) + r0
                 for r in range(TILE_H):
                     rowv = jnp.broadcast_to(chunk[r:r + 1, :],
                                             (TILE_H, TILE_W))
                     g0 = jnp.take_along_axis(rowv, xc0, axis=1)
                     g1 = jnp.take_along_axis(rowv, xc1, axis=1)
-                    c0v = g0 * (1.0 - fx)
-                    c1v = g1 * fx
-                    dy = yi - (r0 + r)
-                    top = top + jnp.where((dy == 0) & in0, c0v, 0.0) \
-                              + jnp.where((dy == 0) & in1, c1v, 0.0)
-                    bot = bot + jnp.where((dy == -1) & in0, c0v, 0.0) \
-                              + jnp.where((dy == -1) & in1, c1v, 0.0)
-                return (top, bot)
+                    # row bilinear weight as a hat function: 1-fy at row yi,
+                    # fy at row yi+1, 0 elsewhere; sy is clipped so the
+                    # bottom edge (yi == Hs_p-1, fy == 0) gets full weight
+                    wy = jnp.maximum(1.0 - jnp.abs(sy - (r0f + r)), 0.0)
+                    acc = acc + wy * (g0 * a0 + g1 * a1)
+                return acc
 
             zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-            top, bot = jax.lax.fori_loop(0, n_rb * n_cols, scan_body,
-                                         (zero, zero))
-            # bottom edge: yi+1 beyond the padded extent interpolates with
-            # itself (fy there is 0 after the clip anyway)
-            at_edge = yi >= (Hs_p - 1)
-            val = top * (1.0 - fy) + jnp.where(at_edge, top, bot) * fy
+            val = jax.lax.fori_loop(0, n_rb * n_cols, scan_body, zero)
 
             wt = w_ref[0, t]
             sum_src = sum_src + wt * val
