@@ -80,6 +80,10 @@ class PatchMatchParams:
 
     # --- NCC backend: "auto" = Pallas kernel on TPU, jnp elsewhere ---
     ncc_backend: str = "auto"        # "auto" | "pallas" | "jnp"
+    # Evaluate each red/black half-sweep's hypothesis costs on a parity
+    # row-packed half grid (ops/parity.py) — 2x less work in the hot op;
+    # identical update rule, different RNG stream shapes.
+    parity_packed: bool = True
 
     # --- deviations from the reference (documented in DEVIATIONS.md) ---
     # The reference's right_far strip selects the MAX-cost member due to a

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from acmmp_tpu.config import PatchMatchParams
 from acmmp_tpu.core import geometry as geo
 from acmmp_tpu.ops import ncc as ncc_ops
+from acmmp_tpu.ops import parity as parity_ops
 from acmmp_tpu.ops import propagation as prop_ops
 from acmmp_tpu.ops import sampling as samp_ops
 from acmmp_tpu.ops.geom import geom_consistency_cost
@@ -182,81 +183,114 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
     # grids internally, so hand it the tile origin
     origin = (y[0, 0], x[0, 0])
 
-    # ---- adaptive checkerboard sampling: 8 candidate planes ----
+    # ---- adaptive checkerboard sampling: 8 candidate planes (full grid:
+    # reads opposite-parity neighbor costs/planes) ----
     cand_planes, flags = prop_ops.best_neighbor_planes(
         state.costs, state.planes, x, y, wt, ht, params
     )
-    planes9 = jnp.concatenate([cand_planes, state.planes[None]], axis=0)
-    ncc9 = ncc_ops.multiview_zncc(inputs.ref_img, inputs.src_imgs, vg,
-                                  planes9, params, origin=origin)  # [9,H,W,V]
+    # ---- view-selection spatial prior (full grid: 4-neighbor reads) ----
+    prior = prop_ops.view_prior(state.selected, x, y, wt, ht, params)
+
+    # ---- parity row packing: the rest of the sweep only matters at the
+    # active parity's pixels, so evaluate the 14 hypothesis cost fields on
+    # a half grid (ops/parity.py; 2x less work in the hot op) ----
+    packed = params.parity_packed and (H % 16 == 0)
+    if packed:
+        off0 = parity_ops.row_pack_offset(parity_mask)
+        pk = lambda a: parity_ops.pack_rows(a, off0)           # noqa: E731
+        pkc = lambda a: parity_ops.pack_rows_c(a, off0)        # noqa: E731
+    else:
+        off0 = None
+        pk = pkc = lambda a: a                                 # noqa: E731
+    x, y = pk(x), pk(y)
+    planes_cur = pkc(state.planes)
+    sel_prev = pkc(state.selected)
+    pre_costs_cur = pk(state.pre_costs)
+    cand_planes = pkc(cand_planes)
+    flags = pk(flags)
+    prior = pkc(prior)
+    prior_planes_in = (pkc(inputs.prior_planes)
+                       if inputs.prior_planes is not None else None)
+    prior_mask_in = (pk(inputs.prior_mask)
+                     if inputs.prior_mask is not None else None)
+
+    def eval_ncc(planes_k):
+        if packed:
+            return ncc_ops.multiview_zncc_packed(
+                inputs.ref_img, inputs.src_imgs, vg, planes_k, params, off0,
+                origin=origin)
+        return ncc_ops.multiview_zncc(inputs.ref_img, inputs.src_imgs, vg,
+                                      planes_k, params, origin=origin)
+
+    planes9 = jnp.concatenate([cand_planes, planes_cur[None]], axis=0)
+    ncc9 = eval_ncc(planes9)                                   # [9,*g,V]
     geom9 = None
     if mode.geom_consistency:
         geom9 = geom_consistency_cost(cam, inputs.src_cams, inputs.src_depths,
-                                      planes9, x, y, params)
+                                      planes9, x, y, params, row_pack_off=off0)
 
     # ---- multi-hypothesis joint view selection ----
-    weights, weight_norm, new_selected = prop_ops.view_selection(
-        ncc9[:8], flags, state.selected, inputs.view_mask, x, y, wt, ht,
-        k_view, iteration, params,
+    weights, weight_norm, new_selected = prop_ops.view_selection_core(
+        ncc9[:8], flags, prior, inputs.view_mask, k_view, iteration, params,
     )
     has_views = weight_norm > 0.0
 
     agg9 = _aggregate(ncc9, geom9, weights[None], weight_norm[None], params,
-                      mode.geom_consistency)                # [9, H, W]
+                      mode.geom_consistency)                # [9, *g]
     final_costs = jnp.where(flags, agg9[:8], prop_ops.BIG)  # invalid regions out
     cost_now = agg9[8]
 
-    cand_depths = geo.depth_from_plane(cam, cand_planes, x, y)  # [8, H, W]
+    cand_depths = geo.depth_from_plane(cam, cand_planes, x, y)  # [8, *g]
     depth_ok = (cand_depths >= dmin) & (cand_depths <= dmax)
     gated = jnp.where(depth_ok, final_costs, prop_ops.BIG)
 
     if not mode.planar_prior:
-        best = jnp.argmin(gated, axis=0)                     # [H, W]
+        best = jnp.argmin(gated, axis=0)                     # [*g]
         best_cost = jnp.take_along_axis(gated, best[None], axis=0)[0]
         improve = (best_cost < cost_now) & has_views
         plane_prop = jnp.where(
             improve[..., None],
             jnp.take_along_axis(cand_planes, best[None, ..., None], axis=0)[0],
-            state.planes,
+            planes_cur,
         )
         cost_prop = jnp.where(improve, best_cost, cost_now)
-        sel_prop = jnp.where(improve[..., None], new_selected, state.selected)
-        restricted_prop = jnp.zeros((H, W), jnp.float32)
+        sel_prop = jnp.where(improve[..., None], new_selected, sel_prev)
+        restricted_prop = jnp.zeros(x.shape, jnp.float32)
         # buffers the reference writes during propagation:
-        buffer_planes = state.planes if mode.hierarchy else plane_prop
+        buffer_planes = planes_cur if mode.hierarchy else plane_prop
         buffer_costs = cost_now
-        prior_depth = jnp.zeros((H, W), jnp.float32)
+        prior_depth = jnp.zeros(x.shape, jnp.float32)
     else:
-        prior_depth = geo.depth_from_plane(cam, inputs.prior_planes, x, y)
+        prior_depth = geo.depth_from_plane(cam, prior_planes_in, x, y)
         # masked pixels: maximize the restricted score over the 8 regions
         r8 = _restricted_score(
             agg9[:8], cand_depths, cand_planes[..., :3],
-            inputs.prior_planes[None], prior_depth[None], dmin, dmax, params,
+            prior_planes_in[None], prior_depth[None], dmin, dmax, params,
         )
         r8 = jnp.where(flags & depth_ok, r8, -prop_ops.BIG)
         r_now = _restricted_score(
-            cost_now, geo.depth_from_plane(cam, state.planes, x, y),
-            state.planes[..., :3], inputs.prior_planes, prior_depth,
+            cost_now, geo.depth_from_plane(cam, planes_cur, x, y),
+            planes_cur[..., :3], prior_planes_in, prior_depth,
             dmin, dmax, params,
         )
         best_r = jnp.argmax(r8, axis=0)
         best_r_score = jnp.take_along_axis(r8, best_r[None], axis=0)[0]
-        take_r = (best_r_score > r_now) & inputs.prior_mask & has_views
+        take_r = (best_r_score > r_now) & prior_mask_in & has_views
         # unmasked pixels: standard min-cost acceptance
         best_c = jnp.argmin(gated, axis=0)
         best_c_cost = jnp.take_along_axis(gated, best_c[None], axis=0)[0]
-        take_c = (best_c_cost < cost_now) & (~inputs.prior_mask) & has_views
+        take_c = (best_c_cost < cost_now) & (~prior_mask_in) & has_views
 
-        best = jnp.where(inputs.prior_mask, best_r, best_c)
+        best = jnp.where(prior_mask_in, best_r, best_c)
         chosen_plane = jnp.take_along_axis(
             cand_planes, best[None, ..., None], axis=0
         )[0]
         chosen_cost = jnp.take_along_axis(agg9[:8], best[None], axis=0)[0]
         take = take_r | take_c
-        plane_prop = jnp.where(take[..., None], chosen_plane, state.planes)
+        plane_prop = jnp.where(take[..., None], chosen_plane, planes_cur)
         cost_prop = jnp.where(take, chosen_cost, cost_now)
         restricted_prop = jnp.where(take_r, best_r_score, r_now)
-        sel_prop = jnp.where(take_r[..., None], new_selected, state.selected)
+        sel_prop = jnp.where(take_r[..., None], new_selected, sel_prev)
         buffer_planes = plane_prop
         buffer_costs = cost_prop
 
@@ -267,22 +301,22 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
 
     if mode.planar_prior:
         depth_sigma = (dmax - dmin) / params.prior_depth_sigma_div
-        u = jax.random.uniform(kd_r, (H, W), dtype=jnp.float32)
+        u = jax.random.uniform(kd_r, x.shape, dtype=jnp.float32)
         d_rand_prior = u * 6.0 * depth_sigma + (prior_depth - 3.0 * depth_sigma)
         n_rand_prior = samp_ops.perturbed_normal(
-            kn_r, cam, x, y, inputs.prior_planes[..., :3], params.prior_angle_sigma
+            kn_r, cam, x, y, prior_planes_in[..., :3], params.prior_angle_sigma
         )
-        d_rand_std = samp_ops.random_depth(kd_r, dmin, dmax, (H, W))
+        d_rand_std = samp_ops.random_depth(kd_r, dmin, dmax, x.shape)
         n_rand_std = samp_ops.random_unit_normal(kn_r, cam, x, y, depth_now)
-        pm = inputs.prior_mask
+        pm = prior_mask_in
         depth_rand = jnp.where(pm, d_rand_prior, d_rand_std)
         normal_rand = jnp.where(pm[..., None], n_rand_prior, n_rand_std)
     else:
-        depth_rand = samp_ops.random_depth(kd_r, dmin, dmax, (H, W))
+        depth_rand = samp_ops.random_depth(kd_r, dmin, dmax, x.shape)
         normal_rand = samp_ops.random_unit_normal(kn_r, cam, x, y, depth_now)
 
     pert = params.refine_perturbation
-    u = jax.random.uniform(kd_p, (H, W), dtype=jnp.float32)
+    u = jax.random.uniform(kd_p, x.shape, dtype=jnp.float32)
     depth_pert = depth_now * (1.0 - pert) + u * (2.0 * pert * depth_now)
     normal_pert = samp_ops.perturbed_normal(kn_p, cam, x, y, normal_now,
                                             pert * jnp.pi)
@@ -291,14 +325,13 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
     cand_n = jnp.stack([normal_now, normal_rand, normal_rand, normal_pert,
                         normal_now])
     planes5 = geo.plane_from_depth_normal(cam, x, y, cand_d, cand_n)
-    ncc5 = ncc_ops.multiview_zncc(inputs.ref_img, inputs.src_imgs, vg,
-                                  planes5, params, origin=origin)
+    ncc5 = eval_ncc(planes5)
     geom5 = None
     if mode.geom_consistency:
         geom5 = geom_consistency_cost(cam, inputs.src_cams, inputs.src_depths,
-                                      planes5, x, y, params)
+                                      planes5, x, y, params, row_pack_off=off0)
     cost5 = _aggregate(ncc5, geom5, weights[None], weight_norm[None], params,
-                       mode.geom_consistency)               # [5, H, W]
+                       mode.geom_consistency)               # [5, *g]
     d_ok5 = (cand_d >= dmin) & (cand_d <= dmax)
 
     if not mode.planar_prior:
@@ -313,17 +346,17 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
         )
         cost_ref = jnp.where(imp, bc, cost_prop)
     else:
-        r5 = _restricted_score(cost5, cand_d, cand_n, inputs.prior_planes[None],
+        r5 = _restricted_score(cost5, cand_d, cand_n, prior_planes_in[None],
                                prior_depth[None], dmin, dmax, params)
         r5 = jnp.where(d_ok5, r5, -prop_ops.BIG)
         bi_r = jnp.argmax(r5, axis=0)
         br = jnp.take_along_axis(r5, bi_r[None], axis=0)[0]
-        imp_r = (br > restricted_prop) & inputs.prior_mask & has_views
+        imp_r = (br > restricted_prop) & prior_mask_in & has_views
         g5 = jnp.where(d_ok5, cost5, prop_ops.BIG)
         bi_c = jnp.argmin(g5, axis=0)
         bcc = jnp.take_along_axis(g5, bi_c[None], axis=0)[0]
-        imp_c = (bcc < cost_prop) & (~inputs.prior_mask) & has_views
-        bi = jnp.where(inputs.prior_mask, bi_r, bi_c)
+        imp_c = (bcc < cost_prop) & (~prior_mask_in) & has_views
+        bi = jnp.where(prior_mask_in, bi_r, bi_c)
         chosen = jnp.take_along_axis(planes5, bi[None, ..., None], axis=0)[0]
         chosen_cost = jnp.take_along_axis(cost5, bi[None], axis=0)[0]
         imp = imp_r | imp_c
@@ -332,7 +365,7 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
 
     # ---- hierarchy acceptance gate (ACMMP.cu:1163-1172) ----
     if mode.hierarchy:
-        gate = cost_ref < state.pre_costs - params.hierarchy_accept_margin
+        gate = cost_ref < pre_costs_cur - params.hierarchy_accept_margin
         new_planes = jnp.where(gate[..., None], plane_ref, buffer_planes)
         new_costs = jnp.where(gate, cost_ref, buffer_costs)
     else:
@@ -341,13 +374,19 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
 
     # ---- masked parity write; pixels whose view re-sampling selected no
     # view at all keep their previous state (the reference would write NaN
-    # costs there via a 0/0 — see DEVIATIONS.md) ----
-    upd = parity_mask & has_views
+    # costs there via a 0/0 — see DEVIATIONS.md). In packed mode the
+    # half-grid results scatter back through a row-pair duplication gated
+    # by the parity mask. ----
+    if packed:
+        unp, unpc = parity_ops.unpack_rows, parity_ops.unpack_rows_c
+    else:
+        unp = unpc = lambda a: a                               # noqa: E731
+    upd = parity_mask & unp(has_views)
     upd3 = upd[..., None]
     return SolverState(
-        planes=jnp.where(upd3, new_planes, state.planes),
-        costs=jnp.where(upd, new_costs, state.costs),
-        selected=jnp.where(upd3, sel_prop, state.selected),
+        planes=jnp.where(upd3, unpc(new_planes), state.planes),
+        costs=jnp.where(upd, unp(new_costs), state.costs),
+        selected=jnp.where(upd3, unpc(sel_prop), state.selected),
         pre_costs=state.pre_costs,
     )
 

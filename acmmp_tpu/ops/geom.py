@@ -20,9 +20,10 @@ def geom_consistency_cost(
     src_cams: geo.Camera,     # stacked [V]
     src_depths: jax.Array,    # [V, Hs, Ws] depth maps (0 = invalid)
     planes: jax.Array,        # [..., H, W, 4]
-    x: jax.Array,             # [H, W]
-    y: jax.Array,             # [H, W]
+    x: jax.Array,             # [H, W] pixel grids (parity-packed when
+    y: jax.Array,             # [H, W]  `row_pack_off` is given)
     params: PatchMatchParams,
+    row_pack_off=None,
 ) -> jax.Array:
     """Returns [..., H, W, V] clamped reprojection errors.
 
@@ -35,9 +36,14 @@ def geom_consistency_cost(
     if use_pallas and planes.ndim == 4:
         from acmmp_tpu.ops.pallas_geom import geom_consistency_cost_pallas
 
+        if row_pack_off is None:
+            origin = (y[0, 0], x[0, 0])
+        else:
+            # packed grid: y[0, 0] carries the row offset of column 0
+            origin = (y[0, 0] - row_pack_off, x[0, 0])
         return geom_consistency_cost_pallas(
             ref_cam, src_cams, src_depths, planes, params,
-            origin=(y[0, 0], x[0, 0]))
+            origin=origin, row_pack_off=row_pack_off)
 
     max_cost = params.geom_cost_max
     depth = geo.depth_from_plane(ref_cam, planes, x, y)          # [..., H, W]

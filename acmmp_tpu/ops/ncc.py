@@ -92,9 +92,58 @@ def multiview_zncc(
     if origin is not None:
         y = y + origin[0]
         x = x + origin[1]
+    taps = tap_weights_spatial(params)
+    tap_values = [_shift_edge(ref_img, dj, di) for di, dj, _w in taps]
+    return _zncc_grids(ref_img, tap_values, x, y, src_imgs, vg, planes, params)
+
+
+def multiview_zncc_packed(
+    ref_img: jax.Array,      # [H, W] full-grid ref (edge-padded)
+    src_imgs: jax.Array,     # [V, Hs, Ws]
+    vg: ViewGeometry,
+    planes: jax.Array,       # [..., H//2, W, 4] parity-packed hypotheses
+    params: PatchMatchParams,
+    off0: jax.Array,         # active-parity row offset of local column 0
+    origin=None,             # FULL-grid (y0, x0) of ref_img's top-left
+) -> jax.Array:
+    """`multiview_zncc` on a parity row-packed half grid (ops/parity.py):
+    packed (i, j) is the full-grid pixel at local row 2i + (off0+j)%2.
+    Returns [..., H//2, W, V]."""
+    from acmmp_tpu.ops import parity
+
+    use_pallas = params.ncc_backend == "pallas" or (
+        params.ncc_backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from acmmp_tpu.ops.pallas_ncc import multiview_zncc_pallas
+
+        if planes.ndim == 3:
+            return multiview_zncc_pallas(
+                ref_img, src_imgs, vg, planes[None], params,
+                origin=origin, row_pack_off=off0)[0]
+        return multiview_zncc_pallas(ref_img, src_imgs, vg, planes, params,
+                                     origin=origin, row_pack_off=off0)
+
+    H, W = ref_img.shape
+    x, y = geo.pixel_grid(H, W)
+    if origin is not None:
+        y = y + origin[0]
+        x = x + origin[1]
+    taps = tap_weights_spatial(params)
+    tap_values = [parity.pack_rows(_shift_edge(ref_img, dj, di), off0)
+                  for di, dj, _w in taps]
+    return _zncc_grids(parity.pack_rows(ref_img, off0), tap_values,
+                       parity.pack_rows(x, off0), parity.pack_rows(y, off0),
+                       src_imgs, vg, planes, params)
+
+
+def _zncc_grids(ref_center, tap_values, x, y, src_imgs, vg, planes, params):
+    """Oracle ZNCC over explicit coordinate grids. `ref_center`/`tap_values`
+    and `x`/`y` share an arbitrary grid shape (full image or parity-packed
+    half grid); `planes` is [..., *grid, 4]."""
     cost_max = params.cost_max
 
-    # rank-1 homography piece per hypothesis: m = Kr^{-T} n, shape [..., H, W, 3]
+    # rank-1 homography piece per hypothesis: m = Kr^{-T} n, [..., *grid, 3]
     m = jnp.einsum("ij,...j->...i", vg.KrT, planes[..., :3],
                    precision=jax.lax.Precision.HIGHEST)
     inv_w = 1.0 / planes[..., 3]
@@ -121,17 +170,15 @@ def multiview_zncc(
         cx, cy = warp(0.0, 0.0)
         in_bounds = (cx >= 0.0) & (cx < sw) & (cy >= 0.0) & (cy < sh)
 
-        ref_center = ref_img  # ref sample at the pixel itself
-
         sum_ref = 0.0
         sum_ref_ref = 0.0
         sum_src = 0.0
         sum_src_src = 0.0
         sum_ref_src = 0.0
         sum_w = 0.0
-        for di, dj, w_spatial in taps:
-            # ref tap: static shift with edge clamp (pad+slice, no gathers)
-            ref_pix = _shift_edge(ref_img, dj, di)
+        for t, (di, dj, w_spatial) in enumerate(taps):
+            # ref tap: precomputed static shift with edge clamp (no gathers)
+            ref_pix = tap_values[t]
             weight = w_spatial * jnp.exp(-jnp.abs(ref_pix - ref_center) * inv_2sc2)
 
             sx, sy = warp(float(di), float(dj))

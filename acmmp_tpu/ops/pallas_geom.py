@@ -53,12 +53,15 @@ def geom_consistency_cost_pallas(
     planes: jax.Array,        # [K, H, W, 4]
     params: PatchMatchParams,
     origin=None,              # (y0, x0) offset of the planes tile
+    row_pack_off=None,        # parity row packing (ops/parity.py)
 ) -> jax.Array:
-    """Returns [K, H, W, V] clamped reprojection errors."""
+    """Returns [K, H, W, V] clamped reprojection errors (H is the packed
+    row count when `row_pack_off` is given)."""
     assert planes.ndim == 4
     K = planes.shape[0]
     H, W = planes.shape[1], planes.shape[2]
     V, Hs, Ws = src_depths.shape
+    row_packed = row_pack_off is not None
     Hs_p, Ws_p = _round_up(Hs, TILE_H), _round_up(Ws, TILE_W)
     if (Hs_p, Ws_p) != (Hs, Ws):
         src_depths = jnp.pad(
@@ -76,7 +79,9 @@ def geom_consistency_cost_pallas(
     else:
         oy = jnp.asarray(origin[0], jnp.float32)
         ox = jnp.asarray(origin[1], jnp.float32)
-    kparams = jnp.stack([Kr[0, 0], Kr[1, 1], Kr[0, 2], Kr[1, 2], oy, ox])
+    off = (jnp.asarray(row_pack_off, jnp.float32) if row_packed
+           else jnp.float32(0.0))
+    kparams = jnp.stack([Kr[0, 0], Kr[1, 1], Kr[0, 2], Kr[1, 2], oy, ox, off])
 
     planes_t = jnp.transpose(planes, (0, 3, 1, 2))      # [K,4,H,W]
     grid = (K, V, H // TILE_H, W // TILE_W)
@@ -86,10 +91,16 @@ def geom_consistency_cost_pallas(
         v = pl.program_id(1)
         ti = pl.program_id(2)
         tj = pl.program_id(3)
-        yy = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
-              + ti * TILE_H).astype(jnp.float32) + kp_ref[4]
-        xx = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
-              + tj * TILE_W).astype(jnp.float32) + kp_ref[5]
+        ii = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+              + ti * TILE_H)
+        jj = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+              + tj * TILE_W)
+        if row_packed:
+            rr = 2 * ii + (kp_ref[6].astype(jnp.int32) + jj) % 2
+        else:
+            rr = ii
+        yy = rr.astype(jnp.float32) + kp_ref[4]
+        xx = jj.astype(jnp.float32) + kp_ref[5]
 
         fx, fy, cx, cy = kp_ref[0], kp_ref[1], kp_ref[2], kp_ref[3]
         nx = pl_ref[0, 0]

@@ -73,11 +73,19 @@ def multiview_zncc_pallas(
     params: PatchMatchParams,
     force_bf16: bool = False,  # testing hook for the large-image layout
     origin=None,               # (y0, x0) scalar offset of the ref tile
+    row_pack_off=None,         # parity row packing (ops/parity.py): planes
+                               # are [K, H//2, W, 4] and packed (i, j) maps
+                               # to local row 2i + (row_pack_off + j) % 2
 ) -> jax.Array:
-    """Per-view bilateral ZNCC costs, [K, H, W, V]."""
+    """Per-view bilateral ZNCC costs, [K, H, W, V] (or [K, H//2, W, V] when
+    `row_pack_off` is given)."""
     assert planes.ndim == 4, "pallas path expects a leading hypothesis axis"
     K = planes.shape[0]
     H, W = ref_img.shape
+    row_packed = row_pack_off is not None
+    Hg = planes.shape[1]           # output grid rows (H or H//2)
+    if row_packed:
+        assert Hg * 2 == H and Hg % TILE_H == 0, (H, planes.shape)
     V, Hs, Ws = src_imgs.shape
     # 16-row alignment: bf16 sublane tiles are (16, 128)
     Hs_p, Ws_p = _round_up(Hs, 16), _round_up(Ws, TILE_W)
@@ -88,6 +96,12 @@ def multiview_zncc_pallas(
     taps = ncc_ops.tap_weights_spatial(params)
     T = len(taps)
     w_taps, wr_taps, refsums = _ref_side(ref_img, params)
+    if row_packed:
+        from acmmp_tpu.ops import parity
+
+        w_taps = parity.pack_rows(w_taps, row_pack_off)
+        wr_taps = parity.pack_rows(wr_taps, row_pack_off)
+        refsums = parity.pack_rows(refsums, row_pack_off)
 
     # VMEM layout (static per shape): small scenes keep all views resident
     # in f32 (fastest scan: one aligned 8-row load + row gather); large
@@ -110,12 +124,16 @@ def multiview_zncc_pallas(
     swh = jnp.stack([vg.src_width.astype(jnp.float32),
                      vg.src_height.astype(jnp.float32)], axis=-1)  # [V, 2]
     if origin is None:
-        org = jnp.zeros((2,), jnp.float32)
+        oy = jnp.float32(0.0)
+        ox = jnp.float32(0.0)
     else:
-        org = jnp.stack([jnp.asarray(origin[0], jnp.float32),
-                         jnp.asarray(origin[1], jnp.float32)])
+        oy = jnp.asarray(origin[0], jnp.float32)
+        ox = jnp.asarray(origin[1], jnp.float32)
+    off = (jnp.asarray(row_pack_off, jnp.float32) if row_packed
+           else jnp.float32(0.0))
+    org = jnp.stack([oy, ox, off])
 
-    grid = (K, V, H // TILE_H, W // TILE_W)
+    grid = (K, V, Hg // TILE_H, W // TILE_W)
     cost_max = params.cost_max
     min_var = params.min_var
 
@@ -124,10 +142,18 @@ def multiview_zncc_pallas(
         v = pl.program_id(1)
         ti = pl.program_id(2)
         tj = pl.program_id(3)
-        yy = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
-              + ti * TILE_H).astype(jnp.float32) + org_ref[0]
-        xx = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
-              + tj * TILE_W).astype(jnp.float32) + org_ref[1]
+        ii = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+              + ti * TILE_H)
+        jj = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+              + tj * TILE_W)
+        if row_packed:
+            # parity row packing: packed row i of column j holds the pixel
+            # at local row 2i + (off0 + j) % 2
+            rr = 2 * ii + (org_ref[2].astype(jnp.int32) + jj) % 2
+        else:
+            rr = ii
+        yy = rr.astype(jnp.float32) + org_ref[0]
+        xx = jj.astype(jnp.float32) + org_ref[1]
 
         sw = swh_ref[v, 0]
         sh = swh_ref[v, 1]
@@ -273,7 +299,7 @@ def multiview_zncc_pallas(
         out_specs=pl.BlockSpec((1, 1, TILE_H, TILE_W),
                                lambda k, v, i, j: (k, v, i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((K, V, H, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((K, V, Hg, W), jnp.float32),
     )(A, B, swh, org, src_dev, mfield, w_taps[None], wr_taps[None],
       refsums[None], )
 

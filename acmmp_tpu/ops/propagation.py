@@ -142,6 +142,32 @@ def best_neighbor_planes(
     return jnp.stack(cand_planes), jnp.stack(flags)
 
 
+def view_prior(
+    selected: jax.Array,     # [H, W, V] bool, previous selected views
+    x: jax.Array,            # [H, W] full pixel grids
+    y: jax.Array,
+    width_true: jax.Array,
+    height_true: jax.Array,
+    params: PatchMatchParams,
+) -> jax.Array:
+    """Per-view spatial prior from the 4 adjacent pixels' previous
+    selections (ACMMP.cu:994-1008). Full-grid (reads opposite-parity
+    neighbors); the rest of view selection is grid-agnostic
+    (`view_selection_core`)."""
+    H, W, V = selected.shape
+    prior = jnp.zeros((H, W, V), jnp.float32)
+    for (dx, dy) in ((0, -1), (0, 1), (-1, 0), (1, 0)):
+        v = (x + dx >= 0) & (x + dx < width_true) & (y + dy >= 0) & (y + dy < height_true)
+        nb_sel = shift_fill(
+            selected.astype(jnp.float32).transpose(2, 0, 1), dy, dx, 0.0
+        ).transpose(1, 2, 0)
+        contrib = jnp.where(
+            nb_sel > 0.5, params.view_prior_selected, params.view_prior_unselected
+        )
+        prior = prior + jnp.where(v[..., None], contrib, 0.0)
+    return prior
+
+
 def view_selection(
     cost_array: jax.Array,   # [8, H, W, V] per-region per-view NCC
     flags: jax.Array,        # [8, H, W]
@@ -160,19 +186,24 @@ def view_selection(
     Returns (view_weights [H, W, V] float — Monte-Carlo counts,
     weight_norm [H, W], new_selected [H, W, V] bool).
     """
-    H, W, V = selected.shape
+    prior = view_prior(selected, x, y, width_true, height_true, params)
+    return view_selection_core(cost_array, flags, prior, view_mask, key,
+                               iteration, params)
 
-    # --- per-view spatial prior from the 4 adjacent pixels' selections ---
-    prior = jnp.zeros((H, W, V), jnp.float32)
-    for (dx, dy) in ((0, -1), (0, 1), (-1, 0), (1, 0)):
-        v = (x + dx >= 0) & (x + dx < width_true) & (y + dy >= 0) & (y + dy < height_true)
-        nb_sel = shift_fill(
-            selected.astype(jnp.float32).transpose(2, 0, 1), dy, dx, 0.0
-        ).transpose(1, 2, 0)
-        contrib = jnp.where(
-            nb_sel > 0.5, params.view_prior_selected, params.view_prior_unselected
-        )
-        prior = prior + jnp.where(v[..., None], contrib, 0.0)
+
+def view_selection_core(
+    cost_array: jax.Array,   # [8, *grid, V] per-region per-view NCC
+    flags: jax.Array,        # [8, *grid]
+    prior: jax.Array,        # [*grid, V] spatial prior (view_prior)
+    view_mask: jax.Array,    # [V] bool
+    key: jax.Array,
+    iteration: int,
+    params: PatchMatchParams,
+):
+    """Evidence aggregation + Monte-Carlo view re-sampling over any grid
+    (full image or parity-packed half grid)."""
+    grid = cost_array.shape[1:-1]
+    V = cost_array.shape[-1]
 
     # --- evidence from the 8 candidate hypotheses ---
     it = jnp.asarray(iteration, jnp.float32)
@@ -202,7 +233,7 @@ def view_selection(
     cdf = jnp.cumsum(probs, axis=-1) / jnp.maximum(total, 1e-30)
     cdf = jnp.where(total > 0.0, cdf, -1.0)  # no mass -> never selected
     u = jax.random.uniform(
-        key, (params.num_view_samples, H, W), dtype=jnp.float32
+        key, (params.num_view_samples,) + grid, dtype=jnp.float32
     ) - jnp.finfo(jnp.float32).eps
     # first index with cdf > u == number of cdf entries <= u
     idx = jnp.sum(cdf[None] <= u[..., None], axis=-1)       # [S, H, W]

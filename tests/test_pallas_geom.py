@@ -89,3 +89,49 @@ def test_invalid_depth_band():
     # away from the knife-edge rows both agree exactly on validity
     assert np.array_equal(a[:, 10:, :, :] >= PARAMS.geom_cost_max,
                           b[:, 10:, :, :] >= PARAMS.geom_cost_max)
+
+
+def test_packed_matches_full():
+    """Parity row-packed geom cost must equal packed rows of the full one."""
+    from acmmp_tpu.ops import parity
+
+    images, cams, plane_z = textured_plane_scene(
+        n_views=3, width=128, height=32, f=151.73, plane_z=5.1703)
+    inputs = build_solver_inputs(images[0], images[1:], cams[0], cams[1:],
+                                 PARAMS)
+    H, W = inputs.ref_img.shape
+    x, y = geo.pixel_grid(H, W)
+    Hs, Ws = inputs.src_imgs.shape[1:]
+    gy = jnp.linspace(0.0, 0.3, Hs)[:, None]
+    src_depths = jnp.stack([jnp.full((Hs, Ws), plane_z) + gy,
+                            jnp.full((Hs, Ws), plane_z) - gy])
+    n = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), x.shape + (3,))
+    n_cam = geo.normal_world_to_cam(inputs.ref_cam, n)
+    planes = geo.plane_from_depth_normal(
+        inputs.ref_cam, x, y, jnp.full(x.shape, plane_z * 1.031), n_cam)[None]
+
+    full = geom_consistency_cost(inputs.ref_cam, inputs.src_cams,
+                                 src_depths, planes, x, y, PARAMS)
+    for par in (0, 1):
+        parity_mask = ((x.astype(jnp.int32) + y.astype(jnp.int32)) % 2) == par
+        off0 = parity.row_pack_offset(parity_mask)
+        planes_p = parity.pack_rows_c(planes, off0)
+        want = parity.pack_rows_c(full, off0)
+
+        # oracle path with packed grids
+        got_o = geom_consistency_cost(
+            inputs.ref_cam, inputs.src_cams, src_depths, planes_p,
+            parity.pack_rows(x, off0), parity.pack_rows(y, off0), PARAMS)
+        np.testing.assert_allclose(np.asarray(got_o), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
+
+        # pallas kernel with row_pack_off
+        with pltpu.force_tpu_interpret_mode():
+            got_k = geom_consistency_cost_pallas(
+                inputs.ref_cam, inputs.src_cams, src_depths, planes_p,
+                PARAMS, row_pack_off=off0)
+        a, b = np.asarray(got_k), np.asarray(want)
+        bad = np.abs(a - b) > 1e-3 + 1e-3 * np.abs(b)
+        assert bad.mean() < 2e-3, (
+            f"parity {par}: {bad.mean():.5f} differ; "
+            f"max |d|={np.abs(a - b).max()}")

@@ -80,3 +80,41 @@ def test_matches_oracle_bf16_layout():
     planes = geo.plane_from_depth_normal(
         inputs.ref_cam, x, y, jnp.full(x.shape, plane_z), n_cam)
     _compare(planes[None], inputs, vg, force_bf16=True)
+
+
+def test_packed_matches_full():
+    """Parity row-packed evaluation (kernel + oracle) must equal the packed
+    rows of the full-grid result."""
+    from acmmp_tpu.ops import parity
+
+    inputs, vg, x, y, _ = _setup(height=32)
+    k1, k2 = jax.random.split(jax.random.key(5))
+    p1 = samp_ops.random_plane(k1, inputs.ref_cam, x, y,
+                               inputs.depth_min, inputs.depth_max)
+    p2 = samp_ops.random_plane(k2, inputs.ref_cam, x, y,
+                               inputs.depth_min, inputs.depth_max)
+    planes = jnp.stack([p1, p2])
+    for par in (0, 1):
+        parity_mask = ((x.astype(jnp.int32) + y.astype(jnp.int32)) % 2) == par
+        off0 = parity.row_pack_offset(parity_mask)
+        planes_p = parity.pack_rows_c(planes, off0)
+
+        # oracle packed == pack(oracle full)
+        full = ncc_ops.multiview_zncc(inputs.ref_img, inputs.src_imgs, vg,
+                                      planes, PARAMS)
+        want = parity.pack_rows_c(full, off0)
+        got_oracle = ncc_ops.multiview_zncc_packed(
+            inputs.ref_img, inputs.src_imgs, vg, planes_p, PARAMS, off0)
+        np.testing.assert_allclose(np.asarray(got_oracle), np.asarray(want),
+                                   atol=1e-5, rtol=1e-4)
+
+        # pallas packed == pack(oracle full)
+        with pltpu.force_tpu_interpret_mode():
+            got_k = multiview_zncc_pallas(
+                inputs.ref_img, inputs.src_imgs, vg, planes_p, PARAMS,
+                row_pack_off=off0)
+        a, b = np.asarray(got_k), np.asarray(want)
+        bad = np.abs(a - b) > 2e-3 + 1e-3 * np.abs(b)
+        assert bad.mean() < 1e-3, (
+            f"parity {par}: {bad.mean():.5f} differ; "
+            f"max |d|={np.abs(a - b).max()}")
