@@ -48,6 +48,7 @@ def _cfg_from_args(args, prior: bool) -> PipelineConfig:
         multi_fusion=args.multi_fusion is not None,
         force_fusion=args.force_fusion,
         seed=getattr(args, "seed", 0),
+        debug_images=getattr(args, "debug_images", False),
         patchmatch=PatchMatchParams(
             max_image_size=getattr(args, "max_image_size", 3200),
         ),
@@ -72,10 +73,13 @@ def main(argv=None):
     pr.add_argument("--max_image_size", type=int, default=3200)
     pr.add_argument("--no_planar_prior", action="store_true")
     pr.add_argument("--view_batch", type=int, default=1,
-                    help="reference views solved per dispatch (vmapped); "
+                    help="reference views solved per dispatch; "
                          "--mesh shards the batch over all local devices")
     pr.add_argument("--mesh", action="store_true",
                     help="shard view batches over a device mesh")
+    pr.add_argument("--debug_images", action="store_true",
+                    help="write approved_pixels_cam_N.png and "
+                         "triangulation.png debug artifacts")
 
     pf = sub.add_parser("fuse", help="fusion only, from existing .dmb outputs")
     _add_common_fusion_flags(pf)
@@ -97,6 +101,11 @@ def main(argv=None):
     pe.add_argument("--dst", type=float, default=0.2,
                     help="down-sample density (official protocol: 0.2)")
     pe.add_argument("--max_dist", type=float, default=60.0)
+    pe.add_argument("--sampleset", default=None,
+                    help="official DTU SampleSet root (with ObsMask/); "
+                         "enables observability + table-plane masking")
+    pe.add_argument("--scan", type=int, default=None,
+                    help="scan number for --sampleset mask lookup")
     pe.add_argument("--json", action="store_true")
 
     ps = sub.add_parser("select-cams",
@@ -206,8 +215,15 @@ def main(argv=None):
         from acmmp_tpu.io import read_ply
 
         gt_pts, _, _ = read_ply(args.gt)
+        obs = None
+        if args.sampleset is not None:
+            if args.scan is None:
+                parser.error("--sampleset requires --scan")
+            from acmmp_tpu.eval.obsmask import DtuObsMask
+
+            obs = DtuObsMask.load(args.sampleset, args.scan)
         metrics = evaluate_ply(args.ply, gt_pts, dst=args.dst,
-                               max_dist=args.max_dist)
+                               max_dist=args.max_dist, obs_mask=obs)
         if args.json:
             print(json.dumps(metrics))
         else:

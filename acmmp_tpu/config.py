@@ -36,7 +36,10 @@ class PatchMatchParams:
     min_var: float = 1e-5            # degenerate-variance guard (ACMMP.cu:423)
     geom_cost_max: float = 3.0       # reprojection clamp (ACMMP.cu:520)
     geom_weight: float = 0.2         # geometric-consistency weight (ACMMP.cu:753,1064)
-    geom_invalid_penalty: float = 0.3  # 0.1*3.0 for invalid hypotheses (ACMMP.cu:1067)
+    # NB: the reference's 0.1*3.0 penalty for invalid-flag candidates in
+    # geom mode (ACMMP.cu:1067) is part of the zero-cost border hijack we
+    # do not reproduce — invalid candidates are BIG-masked in every mode
+    # (DEVIATIONS.md #7)
 
     # --- multi-hypothesis joint view selection (ACMMP.cu:994-1056) ---
     view_prior_selected: float = 0.9
@@ -80,6 +83,12 @@ class PatchMatchParams:
 
     # --- NCC backend: "auto" = Pallas kernel on TPU, jnp elsewhere ---
     ncc_backend: str = "auto"        # "auto" | "pallas" | "jnp"
+    # Treat source images as 8-bit (build_solver_inputs rounds them to
+    # uint8 values; the Pallas kernel stores them 4 rows per 32-bit word).
+    # This is the reference's own precision — its CUDA textures sample
+    # uint8 Mats (acmmp_definitions.cpp BindTextures). Set False to keep
+    # full-float sources (bf16 packed layout in the kernel).
+    ncc_src_u8: bool = True
     # Evaluate each red/black half-sweep's hypothesis costs on a parity
     # row-packed half grid (ops/parity.py) — 2x less work in the hot op;
     # identical update rule, different RNG stream shapes.
@@ -136,7 +145,11 @@ class PipelineConfig:
     # round image dims up to multiples of (pad_h, pad_w) to bound recompiles
     pad_h: int = 8
     pad_w: int = 128
-    # solve this many reference views per dispatch (vmapped stages); >1
-    # enables the batched executor; a mesh passed to run_pipeline shards
+    # solve this many reference views per dispatch (batch-mapped stages);
+    # >1 enables the batched executor; a mesh passed to run_pipeline shards
     # the batch over its "view" axis
     view_batch: int = 1
+    # write per-view debug artifacts: approved_pixels_cam_N.png from fusion
+    # (acmmp_definitions.cpp:1035-1038) and triangulation.png from the
+    # planar-prior triangulation (:329)
+    debug_images: bool = False

@@ -205,91 +205,223 @@ class FusionView:
                      else np.asarray(mask, bool))
 
 
+def _assemble_problem(prob, views, v_max, sh, sw, prior_aware):
+    """Per-reference-view fusion arrays at the (sh, sw) padded source shape.
+    Masks are read HERE — the greedy consumption a problem sees is the mask
+    state at assembly time."""
+    i = prob.ref_image_id
+    rv = views[i]
+    src_ids = [s for s in prob.src_image_ids if s in views]
+    if not src_ids:
+        return None
+    pad_ids = src_ids + [src_ids[0]] * (v_max - len(src_ids))
+
+    def stack(get, fill=0.0):
+        out = []
+        for s in pad_ids:
+            a = get(views[s])
+            pad = [(0, sh - a.shape[0]), (0, sw - a.shape[1])]
+            if a.ndim == 3:
+                pad.append((0, 0))
+            out.append(np.pad(a, pad, constant_values=fill))
+        return np.stack(out)
+
+    arrays = dict(
+        ref_mask=np.asarray(rv.mask),
+        src_masks=stack(lambda v: v.mask, fill=True),
+        view_mask=np.asarray(
+            [True] * len(src_ids) + [False] * (v_max - len(src_ids))),
+    )
+    if prior_aware:
+        arrays.update(
+            ref_depth0=rv.depth, ref_normal0=rv.normal,
+            ref_depth1=rv.depth1, ref_normal1=rv.normal1,
+            src_depths0=stack(lambda v: v.depth),
+            src_normals0=stack(lambda v: v.normal),
+            src_depths1=stack(lambda v: v.depth1),
+            src_normals1=stack(lambda v: v.normal1),
+        )
+    else:
+        arrays.update(
+            ref_depth=rv.depth, ref_normal=rv.normal,
+            src_depths=stack(lambda v: v.depth),
+            src_normals=stack(lambda v: v.normal),
+        )
+    cams = dict(ref_cam=rv.cam.to_jax(),
+                src_cams=geo.stack_cameras(
+                    [views[s].cam.to_jax() for s in pad_ids]))
+    return i, rv, src_ids, arrays, cams
+
+
+def _collect_accepted(i, rv, src_ids, views, accept, Xw, normal, consumed,
+                      sinks, progress, debug_dir):
+    """Apply one fused view's results: collect points, consume source
+    pixels, report acceptance, optionally write the approved-pixel debug
+    image (the reference writes approved_pixels_cam_N.png,
+    acmmp_definitions.cpp:1035-1038)."""
+    pts_out, nrm_out, col_out = sinks
+    h, w = rv.depth.shape
+    accept = np.asarray(accept)[:h, :w]
+    Xw = np.asarray(Xw)[:h, :w]
+    normal = np.asarray(normal)[:h, :w]
+    consumed = np.asarray(consumed)
+    pts_out.append(Xw[accept])
+    nrm_out.append(normal[accept])
+    col_out.append(rv.image[accept])
+    for j, s in enumerate(src_ids):
+        hh, ww = views[s].mask.shape
+        views[s].mask |= consumed[j][:hh, :ww]
+    if progress is not None:
+        progress(i, int(np.sum(accept)))
+    if debug_dir is not None:
+        from PIL import Image as PILImage
+
+        os.makedirs(debug_dir, exist_ok=True)
+        PILImage.fromarray((accept * 255).astype(np.uint8)).save(
+            os.path.join(debug_dir, f"approved_pixels_cam_{i}.png"))
+
+
 def fuse_views(views: Dict[int, FusionView], problems: Sequence[Problem],
                fp: FusionParams, prior_aware: bool = False,
-               single_match_penalty: int = 0, progress=None):
+               single_match_penalty: int = 0, progress=None, mesh=None,
+               debug_dir: Optional[str] = None):
     """Fuse all reference views into (points, normals, colors) numpy arrays.
 
     `views` maps image id -> FusionView; masks mutate greedily between
-    reference views exactly like the reference's outer loop."""
-    pts_out, nrm_out, col_out = [], [], []
+    reference views exactly like the reference's outer loop
+    (acmmp_definitions.cpp:920-1031). With a mesh, reference views fuse in
+    parallel groups of mesh size (shard_map over the "view" axis) and the
+    greedy masks are exchanged at group barriers — members of one group
+    score against the masks as they stood when the group started (the
+    reference's sequential semantics at group granularity; its own output
+    is already traversal-order-dependent, DEVIATIONS.md #14)."""
+    sinks = ([], [], [])
+    probs = [p for p in problems
+             if [s for s in p.src_image_ids if s in views]]
     v_max = max(
-        (len([s for s in p.src_image_ids if s in views]) for p in problems),
+        (len([s for s in p.src_image_ids if s in views]) for p in probs),
         default=0,
     )
-    for prob in problems:
-        i = prob.ref_image_id
-        rv = views[i]
-        src_ids = [s for s in prob.src_image_ids if s in views]
-        if not src_ids:
-            continue
-        # pad source stacks (views and pixels) to static shapes so the jitted
-        # kernel compiles once per shape bucket
-        sh = max(views[s].depth.shape[0] for s in src_ids)
-        sw = max(views[s].depth.shape[1] for s in src_ids)
-        pad_ids = src_ids + [src_ids[0]] * (v_max - len(src_ids))
+    all_ids = {p.ref_image_id for p in probs} | {
+        s for p in probs for s in p.src_image_ids if s in views}
+    sh = max((views[i].depth.shape[0] for i in all_ids), default=1)
+    sw = max((views[i].depth.shape[1] for i in all_ids), default=1)
 
-        def stack(get, fill=0.0):
-            out = []
-            for s in pad_ids:
-                a = get(views[s])
-                pad = [(0, sh - a.shape[0]), (0, sw - a.shape[1])]
-                if a.ndim == 3:
-                    pad.append((0, 0))
-                out.append(np.pad(a, pad, constant_values=fill))
-            return jnp.asarray(np.stack(out))
-
-        src_cams = geo.stack_cameras([views[s].cam.to_jax() for s in pad_ids])
-        view_mask = jnp.asarray(
-            [True] * len(src_ids) + [False] * (v_max - len(src_ids))
-        )
-        common = dict(
-            ref_mask=jnp.asarray(rv.mask),
-            ref_cam=rv.cam.to_jax(),
-            src_cams=src_cams,
-            src_masks=stack(lambda v: v.mask, fill=True),
-            view_mask=view_mask,
-            fp=fp,
-        )
+    def run_one(arrays, cams):
+        kw = {k: jnp.asarray(v) for k, v in arrays.items()}
+        kw.update(cams)
         if prior_aware:
             accept, Xw, normal, consumed = _fuse_view_dual_jit(
-                ref_depth0=jnp.asarray(rv.depth),
-                ref_normal0=jnp.asarray(rv.normal),
-                ref_depth1=jnp.asarray(rv.depth1),
-                ref_normal1=jnp.asarray(rv.normal1),
-                src_depths0=stack(lambda v: v.depth),
-                src_normals0=stack(lambda v: v.normal),
-                src_depths1=stack(lambda v: v.depth1),
-                src_normals1=stack(lambda v: v.normal1),
-                single_match_penalty=single_match_penalty,
-                **common,
-            )
-            normal = np.asarray(normal)
+                single_match_penalty=single_match_penalty, fp=fp, **kw)
+            return accept, Xw, normal, consumed
+        accept, Xw, consumed = _fuse_view_plain_jit(fp=fp, **kw)
+        return accept, Xw, None, consumed
+
+    group_size = 1 if mesh is None else int(mesh.devices.size)
+    for g0 in range(0, len(probs), group_size):
+        group = probs[g0:g0 + group_size]
+        asm = [a for a in
+               (_assemble_problem(p, views, v_max, sh, sw, prior_aware)
+                for p in group) if a is not None]
+        if not asm:
+            continue
+        if mesh is None or len(asm) == 1:
+            results = []
+            for i, rv, src_ids, arrays, cams in asm:
+                results.append(run_one(arrays, cams))
         else:
-            accept, Xw, consumed = _fuse_view_plain_jit(
-                ref_depth=jnp.asarray(rv.depth),
-                ref_normal=jnp.asarray(rv.normal),
-                src_depths=stack(lambda v: v.depth),
-                src_normals=stack(lambda v: v.normal),
-                **common,
-            )
-            normal = rv.normal
-        accept = np.asarray(accept)
-        Xw = np.asarray(Xw)
-        consumed = np.asarray(consumed)
-        pts_out.append(Xw[accept])
-        nrm_out.append(np.asarray(normal)[accept])
-        col_out.append(rv.image[accept])
-        for j, s in enumerate(src_ids):
-            h, w = views[s].mask.shape
-            views[s].mask |= consumed[j][:h, :w]
-        if progress is not None:
-            progress(i, int(accept.sum()))
+            results = _fuse_group_sharded(mesh, asm, prior_aware,
+                                          single_match_penalty, fp)
+        for (i, rv, src_ids, _a, _c), (accept, Xw, normal, consumed) \
+                in zip(asm, results):
+            if normal is None:
+                normal = rv.normal
+            _collect_accepted(i, rv, src_ids, views, accept, Xw, normal,
+                              consumed, sinks, progress, debug_dir)
+    pts_out, nrm_out, col_out = sinks
     if not pts_out:
         z = np.zeros((0, 3), np.float32)
         return z, z.copy(), np.zeros((0, 3), np.uint8)
     return (np.concatenate(pts_out), np.concatenate(nrm_out),
             np.concatenate(col_out).astype(np.uint8))
+
+
+@functools.lru_cache(maxsize=None)
+def _group_fuse_fn(mesh, prior_aware, single_match_penalty, fp):
+    """Cached jitted shard_map program: one fusion kernel per chip over a
+    stacked group of reference views."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from acmmp_tpu.parallel.sharding import VIEW_AXIS
+
+    spec = P(VIEW_AXIS)
+
+    def fn(stacked, cam_stack):
+        def local(arrs, cams):
+            def one(x):
+                a, c = x
+                if prior_aware:
+                    return _fuse_view_dual(
+                        single_match_penalty=single_match_penalty, fp=fp,
+                        ref_cam=c["ref_cam"], src_cams=c["src_cams"], **a)
+                return _fuse_view_plain(
+                    fp=fp, ref_cam=c["ref_cam"], src_cams=c["src_cams"], **a)
+            return jax.lax.map(one, (arrs, cams))
+
+        in_specs = (jax.tree.map(lambda _: spec, stacked),
+                    jax.tree.map(lambda _: spec, cam_stack))
+        out_sd = jax.eval_shape(local, stacked, cam_stack)
+        return shard_map(local, mesh=mesh, in_specs=in_specs,
+                         out_specs=jax.tree.map(lambda _: spec, out_sd),
+                         check_rep=False)(stacked, cam_stack)
+
+    return jax.jit(fn)
+
+
+def _fuse_group_sharded(mesh, asm, prior_aware, single_match_penalty, fp):
+    """Fuse one group of reference views in parallel over the mesh: stack
+    the per-view arrays on a leading "view" axis (ref fields padded to the
+    group-max extent; slack group slots repeat the last member and are
+    dropped), run the shard_mapped kernel, return per-member
+    (accept, Xw, normal|None, consumed)."""
+    g = len(asm)
+    n = int(mesh.devices.size)
+    g_pad = ((g + n - 1) // n) * n
+    rh = max(a[1].depth.shape[0] for a in asm)
+    rw = max(a[1].depth.shape[1] for a in asm)
+
+    def padref(x):
+        x = np.asarray(x)
+        if x.shape[:2] == (rh, rw):
+            return x
+        pad = [(0, rh - x.shape[0]), (0, rw - x.shape[1])]
+        pad += [(0, 0)] * (x.ndim - 2)
+        return np.pad(x, pad)
+
+    stacked = {}
+    for k in asm[0][3]:
+        arrs = []
+        for a in asm:
+            x = np.asarray(a[3][k])
+            if k.startswith(("ref_depth", "ref_normal", "ref_mask")):
+                x = padref(x)
+            arrs.append(x)
+        arrs += [arrs[-1]] * (g_pad - g)
+        stacked[k] = jnp.asarray(np.stack(arrs))
+    cam_stack = jax.tree.map(
+        lambda *xs: jnp.stack(list(xs) + [xs[-1]] * (g_pad - g)),
+        *[a[4] for a in asm])
+
+    res = _group_fuse_fn(mesh, prior_aware, single_match_penalty, fp)(
+        stacked, cam_stack)
+    out = []
+    for j in range(g):
+        if prior_aware:
+            out.append((res[0][j], res[1][j], res[2][j], res[3][j]))
+        else:
+            out.append((res[0][j], res[1][j], None, res[2][j]))
+    return out
 
 
 def load_fusion_views(dense_folder: str, out_folder: str,
@@ -331,10 +463,12 @@ def load_fusion_views(dense_folder: str, out_folder: str,
 def run_fusion(dense_folder: str, out_folder: str, problems: Sequence[Problem],
                geom_consistency: bool, fp: FusionParams,
                image_dir: str = "images", mask_dir: Optional[str] = None,
-               ply_name: str = "ACMMP_model.ply", progress=None) -> str:
+               ply_name: str = "ACMMP_model.ply", progress=None,
+               mesh=None, debug_dir: Optional[str] = None) -> str:
     views = load_fusion_views(dense_folder, out_folder, problems,
                               geom_consistency, image_dir, mask_dir)
-    pts, nrm, col = fuse_views(views, problems, fp, progress=progress)
+    pts, nrm, col = fuse_views(views, problems, fp, progress=progress,
+                               mesh=mesh, debug_dir=debug_dir)
     ply_path = os.path.join(out_folder, ply_name)
     write_ply(ply_path, pts, nrm, col)
     return ply_path
@@ -346,7 +480,8 @@ def run_prior_aware_fusion(dense_folder: str, out_folder: str,
                            single_match_penalty: int = 0,
                            mask_dir: Optional[str] = None,
                            ply_name: str = "ACMMP_prior_model.ply",
-                           progress=None) -> str:
+                           progress=None, mesh=None,
+                           debug_dir: Optional[str] = None) -> str:
     """Dual-hypothesis fusion: candidate 0 from `fusion_folder`, candidate 1
     from `out_folder` (RunPriorAwareFusion, acmmp_definitions.cpp:573-826)."""
     views = load_fusion_views(dense_folder, fusion_folder, problems,
@@ -354,7 +489,8 @@ def run_prior_aware_fusion(dense_folder: str, out_folder: str,
                               second_folder=out_folder)
     pts, nrm, col = fuse_views(views, problems, fp, prior_aware=True,
                                single_match_penalty=single_match_penalty,
-                               progress=progress)
+                               progress=progress, mesh=mesh,
+                               debug_dir=debug_dir)
     ply_path = os.path.join(out_folder, ply_name)
     write_ply(ply_path, pts, nrm, col)
     return ply_path

@@ -57,8 +57,17 @@ def build_solver_inputs(
     sw = max(max(s.shape[1] for s in src_imgs), 1)
     Hs, Ws = round_up(sh, pad_h), round_up(sw, pad_w)
 
-    ref_p = pad_image_edge(np.asarray(ref_img, np.float32), Hp, Wp)
-    srcs = [pad_image_edge(np.asarray(s, np.float32), Hs, Ws) for s in src_imgs]
+    def _as_gray(img):
+        img = np.asarray(img, np.float32)
+        if params.ncc_src_u8:
+            # 8-bit image contract (reference parity: ACMMP samples uint8
+            # CUDA textures) — lets the Pallas NCC kernel pack 4 rows per
+            # 32-bit gather word with no further precision loss
+            img = np.rint(np.clip(img, 0.0, 255.0))
+        return img
+
+    ref_p = pad_image_edge(_as_gray(ref_img), Hp, Wp)
+    srcs = [pad_image_edge(_as_gray(s), Hs, Ws) for s in src_imgs]
     while len(srcs) < Vp:
         srcs.append(np.zeros((Hs, Ws), np.float32))
     cams: List[NumpyCamera] = list(src_cams)

@@ -79,6 +79,13 @@ class SolverState(NamedTuple):
     costs: jax.Array         # [H, W]
     selected: jax.Array      # [H, W, V] bool
     pre_costs: jax.Array     # [H, W] (hierarchy acceptance gate)
+    # Per-view costs of the CURRENT plane field, carried across sweeps so
+    # the 9th propagation hypothesis (the current plane, ACMMP.cu:1060-1062)
+    # needs no re-evaluation: NCC (and geom cost) of a fixed plane at a
+    # fixed pixel are deterministic, so the carried values are bitwise what
+    # re-evaluation would produce. ~1/14th of the sweep's kernel work.
+    ncc_pv: jax.Array        # [H, W, V]
+    geom_pv: Optional[jax.Array] = None   # [H, W, V] (geom mode only)
 
 
 class SolverOutputs(NamedTuple):
@@ -131,14 +138,20 @@ def _init_state(inputs: SolverInputs, params: PatchMatchParams, mode: Mode,
         )
 
     per_view = ncc_ops.multiview_zncc(
-        inputs.ref_img, inputs.src_imgs, vg, planes, params
+        inputs.ref_img, inputs.src_imgs, vg, planes, params,
+        n_views=jnp.sum(inputs.view_mask),
     )
     costs, selected = ncc_ops.initial_cost_and_views(
         per_view, inputs.view_mask, params
     )
+    geom_pv = None
+    if mode.geom_consistency:
+        geom_pv = geom_consistency_cost(
+            cam, inputs.src_cams, inputs.src_depths, planes[None], x, y,
+            params)[0]
     pre_costs = costs if inputs.pre_costs is None else inputs.pre_costs
     return SolverState(planes=planes, costs=costs, selected=selected,
-                       pre_costs=pre_costs)
+                       pre_costs=pre_costs, ncc_pv=per_view, geom_pv=geom_pv)
 
 
 # ---------------------------------------------------------------------------
@@ -206,6 +219,8 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
     planes_cur = pkc(state.planes)
     sel_prev = pkc(state.selected)
     pre_costs_cur = pk(state.pre_costs)
+    pv_cur = pkc(state.ncc_pv)                 # carried current-hyp NCC
+    geom_cur = pkc(state.geom_pv) if mode.geom_consistency else None
     cand_planes = pkc(cand_planes)
     flags = pk(flags)
     prior = pkc(prior)
@@ -214,24 +229,32 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
     prior_mask_in = (pk(inputs.prior_mask)
                      if inputs.prior_mask is not None else None)
 
+    n_real = jnp.sum(inputs.view_mask)
+
     def eval_ncc(planes_k):
         if packed:
             return ncc_ops.multiview_zncc_packed(
                 inputs.ref_img, inputs.src_imgs, vg, planes_k, params, off0,
-                origin=origin)
+                origin=origin, n_views=n_real)
         return ncc_ops.multiview_zncc(inputs.ref_img, inputs.src_imgs, vg,
-                                      planes_k, params, origin=origin)
+                                      planes_k, params, origin=origin,
+                                      n_views=n_real)
 
-    planes9 = jnp.concatenate([cand_planes, planes_cur[None]], axis=0)
-    ncc9 = eval_ncc(planes9)                                   # [9,*g,V]
+    # the 9th hypothesis (the current plane, ACMMP.cu:1060-1062) is NOT
+    # re-evaluated: its per-view costs are carried in the state (bitwise
+    # identical to re-evaluation — same plane, same inputs)
+    ncc8 = eval_ncc(cand_planes)                               # [8,*g,V]
+    ncc9 = jnp.concatenate([ncc8, pv_cur[None]], axis=0)       # [9,*g,V]
     geom9 = None
     if mode.geom_consistency:
-        geom9 = geom_consistency_cost(cam, inputs.src_cams, inputs.src_depths,
-                                      planes9, x, y, params, row_pack_off=off0)
+        geom8 = geom_consistency_cost(cam, inputs.src_cams, inputs.src_depths,
+                                      cand_planes, x, y, params,
+                                      row_pack_off=off0)
+        geom9 = jnp.concatenate([geom8, geom_cur[None]], axis=0)
 
     # ---- multi-hypothesis joint view selection ----
     weights, weight_norm, new_selected = prop_ops.view_selection_core(
-        ncc9[:8], flags, prior, inputs.view_mask, k_view, iteration, params,
+        ncc8, flags, prior, inputs.view_mask, k_view, iteration, params,
     )
     has_views = weight_norm > 0.0
 
@@ -255,6 +278,7 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
         )
         cost_prop = jnp.where(improve, best_cost, cost_now)
         sel_prop = jnp.where(improve[..., None], new_selected, sel_prev)
+        take_pv = improve
         restricted_prop = jnp.zeros(x.shape, jnp.float32)
         # buffers the reference writes during propagation:
         buffer_planes = planes_cur if mode.hierarchy else plane_prop
@@ -289,10 +313,20 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
         take = take_r | take_c
         plane_prop = jnp.where(take[..., None], chosen_plane, planes_cur)
         cost_prop = jnp.where(take, chosen_cost, cost_now)
+        take_pv = take
         restricted_prop = jnp.where(take_r, best_r_score, r_now)
         sel_prop = jnp.where(take_r[..., None], new_selected, sel_prev)
         buffer_planes = plane_prop
         buffer_costs = cost_prop
+
+    # carry the adopted hypothesis's per-view costs forward
+    best_pv = jnp.take_along_axis(ncc8, best[None, ..., None], axis=0)[0]
+    pv_prop = jnp.where(take_pv[..., None], best_pv, pv_cur)
+    geom_prop = None
+    if mode.geom_consistency:
+        best_gpv = jnp.take_along_axis(geom9[:8], best[None, ..., None],
+                                       axis=0)[0]
+        geom_prop = jnp.where(take_pv[..., None], best_gpv, geom_cur)
 
     # ---- plane refinement: 5 candidates (PlaneHypothesisRefinement) ----
     depth_now = geo.depth_from_plane(cam, plane_prop, x, y)
@@ -363,14 +397,27 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
         plane_ref = jnp.where(imp[..., None], chosen, plane_prop)
         cost_ref = jnp.where(imp, chosen_cost, cost_prop)
 
+    pv5 = jnp.take_along_axis(ncc5, bi[None, ..., None], axis=0)[0]
+    pv_ref = jnp.where(imp[..., None], pv5, pv_prop)
+    geom_ref = None
+    if mode.geom_consistency:
+        gpv5 = jnp.take_along_axis(geom5, bi[None, ..., None], axis=0)[0]
+        geom_ref = jnp.where(imp[..., None], gpv5, geom_prop)
+
     # ---- hierarchy acceptance gate (ACMMP.cu:1163-1172) ----
     if mode.hierarchy:
         gate = cost_ref < pre_costs_cur - params.hierarchy_accept_margin
         new_planes = jnp.where(gate[..., None], plane_ref, buffer_planes)
         new_costs = jnp.where(gate, cost_ref, buffer_costs)
+        # buffer fallback is (planes_cur, cost_now) -> carried pv_cur
+        new_pv = jnp.where(gate[..., None], pv_ref, pv_cur)
+        new_gpv = (jnp.where(gate[..., None], geom_ref, geom_cur)
+                   if mode.geom_consistency else None)
     else:
         new_planes = plane_ref
         new_costs = cost_ref
+        new_pv = pv_ref
+        new_gpv = geom_ref
 
     # ---- masked parity write; pixels whose view re-sampling selected no
     # view at all keep their previous state (the reference would write NaN
@@ -388,6 +435,9 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
         costs=jnp.where(upd, unp(new_costs), state.costs),
         selected=jnp.where(upd3, unpc(sel_prop), state.selected),
         pre_costs=state.pre_costs,
+        ncc_pv=jnp.where(upd3, unpc(new_pv), state.ncc_pv),
+        geom_pv=(jnp.where(upd3, unpc(new_gpv), state.geom_pv)
+                 if mode.geom_consistency else state.geom_pv),
     )
 
 
@@ -440,9 +490,15 @@ def run_patchmatch(inputs: SolverInputs, key: jax.Array,
     program (jit-compatible; `params` and `mode` static).
 
     NB: on TPU at large image sizes, prefer `run_patchmatch_staged` — XLA's
-    TPU backend miscompiles the multi-sweep program above ~0.3 Mpx (device
-    kernel fault; single sweeps are fine), so the staged driver keeps each
-    half-sweep its own XLA program with state resident on device."""
+    TPU backend miscompiles the fused multi-sweep program at very large
+    sizes. Measured with the packed-gather kernel (2026-08, v5e,
+    tools/fused_fault_repro.py): correct through 1280x960 (1.23 Mpx),
+    deterministic garbage at 1600x1184 (1.9 Mpx) regardless of loop style
+    (lax.scan or unrolled python loop), while the same sweeps staged as
+    separate programs are correct — so the trigger is whole-program
+    scheduling, not the scan. The scheduler ships staged everywhere: the
+    fused path saves only ~12% at small sizes and staged is also the
+    multi-chip stage structure."""
     H, W = inputs.ref_img.shape
     x, y = geo.pixel_grid(H, W)
     cam = inputs.ref_cam

@@ -55,16 +55,31 @@ def nn_distances(a: np.ndarray, b: np.ndarray, workers: int = -1) -> np.ndarray:
 def dtu_metrics(recon: np.ndarray, gt: np.ndarray, dst: float = 0.2,
                 max_dist: float = 60.0,
                 gt_mask_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+                cmp_mask_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+                obs_mask=None,
                 ) -> Dict[str, float]:
-    """The 12-metric DTU vector for a reconstruction against GT points."""
-    recon = reduce_points(np.asarray(recon, np.float64), dst)
+    """The 12-metric DTU vector for a reconstruction against GT points.
+
+    `gt_mask_fn` restricts the accuracy side (reconstruction points kept
+    where observable); `cmp_mask_fn` restricts the completeness side
+    (ground-truth points that count). Passing `obs_mask`
+    (eval.obsmask.DtuObsMask) sets both to the official protocol's masks."""
+    if obs_mask is not None:
+        gt_mask_fn = gt_mask_fn or obs_mask.accuracy_mask
+        cmp_mask_fn = cmp_mask_fn or obs_mask.completeness_mask
+    recon_full = reduce_points(np.asarray(recon, np.float64), dst)
     gt = np.asarray(gt, np.float64)
-    if gt_mask_fn is not None and len(recon):
-        recon = recon[gt_mask_fn(recon)]
+    # accuracy scores only observable recon points; completeness targets the
+    # FULL reduced reconstruction (BaseEvalMain_web.m masks Ddata only)
+    recon = recon_full
+    if gt_mask_fn is not None and len(recon_full):
+        recon = recon_full[gt_mask_fn(recon_full)]
+    if cmp_mask_fn is not None and len(gt):
+        gt = gt[cmp_mask_fn(gt)]
 
     d_acc = nn_distances(recon, gt)
     d_acc = d_acc[d_acc <= max_dist] if len(d_acc) else d_acc
-    d_cmp = nn_distances(gt, recon)
+    d_cmp = nn_distances(gt, recon_full)
     d_cmp = np.minimum(d_cmp, max_dist)
 
     def frac(d, t):
@@ -84,8 +99,9 @@ def dtu_metrics(recon: np.ndarray, gt: np.ndarray, dst: float = 0.2,
 
 
 def evaluate_ply(ply_path: str, gt_points: np.ndarray, dst: float = 0.2,
-                 max_dist: float = 60.0) -> Dict[str, float]:
+                 max_dist: float = 60.0, obs_mask=None) -> Dict[str, float]:
     from acmmp_tpu.io import read_ply
 
     pts, _, _ = read_ply(ply_path)
-    return dtu_metrics(pts, gt_points, dst=dst, max_dist=max_dist)
+    return dtu_metrics(pts, gt_points, dst=dst, max_dist=max_dist,
+                       obs_mask=obs_mask)

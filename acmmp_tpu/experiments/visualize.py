@@ -132,3 +132,80 @@ def plot_depth_map(depth: np.ndarray, out_path: str, cost=None) -> str:
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return out_path
+
+
+def render_cloud_screenshot(ply_path: str, out_path: str,
+                            camera_position=None, width: int = 1024,
+                            height: int = 768, point_size: int = 1,
+                            background=(255, 255, 255)) -> str:
+    """Software point-cloud screenshot (visualise_results.py:21-35
+    equivalent; the reference renders through pyvista/VTK, which this image
+    lacks — a numpy z-buffer splatter gives the same artifact).
+
+    `camera_position` follows pyvista's convention:
+    ((eye_xyz), (focal_point_xyz), (viewup_xyz)). Defaults to a 3/4 view
+    framing the cloud's bounding box."""
+    from acmmp_tpu.io import read_ply
+
+    pts, _, cols = read_ply(ply_path)
+    if len(pts) == 0:
+        img = np.full((height, width, 3), background, np.uint8)
+        plt.imsave(out_path, img)
+        return out_path
+    center = pts.mean(axis=0)
+    extent = float(np.linalg.norm(pts.max(0) - pts.min(0)))
+    if camera_position is None:
+        eye = center + extent * np.asarray([0.7, -0.5, -0.9])
+        camera_position = (tuple(eye), tuple(center), (0.0, -1.0, 0.0))
+    eye = np.asarray(camera_position[0], np.float64)
+    focal = np.asarray(camera_position[1], np.float64)
+    up = np.asarray(camera_position[2], np.float64)
+
+    fwd = focal - eye
+    fwd /= np.linalg.norm(fwd)
+    right = np.cross(fwd, up)
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    R = np.stack([right, down, fwd])                     # world -> cam
+    pc = (pts - eye) @ R.T
+    vis = pc[:, 2] > 1e-6
+    pc, cc = pc[vis], (cols[vis] if cols is not None and len(cols)
+                       else np.full((vis.sum(), 3), 80, np.uint8))
+    f = 0.9 * min(width, height)                         # ~30 deg fov
+    u = (f * pc[:, 0] / pc[:, 2] + width / 2).astype(np.int64)
+    v = (f * pc[:, 1] / pc[:, 2] + height / 2).astype(np.int64)
+    inb = (u >= 0) & (u < width) & (v >= 0) & (v < height)
+    u, v, z, cc = u[inb], v[inb], pc[inb, 2], cc[inb]
+    order = np.argsort(-z)                               # far first
+    img = np.full((height, width, 3), background, np.uint8)
+    for dy in range(point_size):
+        for dx in range(point_size):
+            vv = np.clip(v[order] + dy, 0, height - 1)
+            uu = np.clip(u[order] + dx, 0, width - 1)
+            img[vv, uu] = cc[order]
+    plt.imsave(out_path, img)
+    return out_path
+
+
+def render_recon_screenshots(recons_root: str, out_dir: str,
+                             variants=("ACMMP_no_prior.ply",
+                                       "acmmp_boost_1.ply"),
+                             camera_position=None) -> list:
+    """Batch screenshot renderer over an experiment output tree
+    (visualise_results.py main loop: per scan folder, one PNG per method
+    variant)."""
+    written = []
+    for scan in sorted(os.listdir(recons_root)):
+        sdir = os.path.join(recons_root, scan)
+        if not os.path.isdir(sdir):
+            continue
+        for ply_name in variants:
+            ply = os.path.join(sdir, ply_name)
+            if not os.path.exists(ply):
+                continue
+            vdir = os.path.join(out_dir, os.path.splitext(ply_name)[0])
+            os.makedirs(vdir, exist_ok=True)
+            out = os.path.join(vdir, f"{scan}.png")
+            written.append(render_cloud_screenshot(
+                ply, out, camera_position=camera_position))
+    return written

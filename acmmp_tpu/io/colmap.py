@@ -216,34 +216,72 @@ def read_model(path: str, ext: str = ".txt"):
 def view_selection_scores(images: Dict[int, ColmapImage],
                           points: Dict[int, ColmapPoint],
                           extrinsics: Dict[int, np.ndarray]) -> np.ndarray:
-    """Pairwise shared-point counts with the low-parallax zeroing rule."""
+    """Pairwise shared-point counts with the low-parallax zeroing rule
+    (calc_score, colmap2mvsnet_acm.py:280-302: score(i,j) = |shared 3D
+    points|, zeroed when the 75th-percentile triangulation angle < 1 deg).
+
+    Vectorized point-track formulation (the reference throws a
+    multiprocessing pool at an O(N^2) pair loop, :405-410): one normalized
+    viewing direction per (image, point) observation, then every
+    co-observation pair of every track is scored in one flat numpy pass.
+    """
     ids = sorted(images.keys())
     n = len(ids)
-    centers = {}
-    psets = {}
+    centers = np.stack([
+        -extrinsics[iid][:3, :3].T @ extrinsics[iid][:3, 3] for iid in ids])
+    pid2dense = {pid: d for d, pid in enumerate(sorted(points.keys()))}
+    xyz = np.stack([points[pid].xyz for pid in sorted(points.keys())]) \
+        if points else np.zeros((0, 3))
+
+    # flat (image, point) observation list, deduped per image
+    obs_img, obs_pt = [], []
     for k, iid in enumerate(ids):
-        e = extrinsics[iid]
-        centers[k] = -e[:3, :3].T @ e[:3, 3]
-        psets[k] = set(int(p) for p in images[iid].point3D_ids if p != -1)
-    xyz = {pid: p.xyz for pid, p in points.items()}
+        pts_k = {pid2dense[int(p)] for p in images[iid].point3D_ids
+                 if p != -1 and int(p) in pid2dense}
+        obs_img.extend([k] * len(pts_k))
+        obs_pt.extend(pts_k)
     score = np.zeros((n, n))
-    for i in range(n):
-        for j in range(i + 1, n):
-            shared = psets[i] & psets[j]
-            shared = [p for p in shared if p in xyz]
-            if not shared:
-                continue
-            P = np.stack([xyz[p] for p in shared])
-            vi = centers[i][None] - P
-            vj = centers[j][None] - P
-            cosang = np.sum(vi * vj, axis=1) / (
-                np.linalg.norm(vi, axis=1) * np.linalg.norm(vj, axis=1))
-            theta = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
-            s = float(len(shared))
-            t75 = np.sort(theta)[int(len(theta) * 0.75)]
-            if t75 < 1.0:
-                s = 0.0
-            score[i, j] = score[j, i] = s
+    if not obs_pt:
+        return score
+    obs_img = np.asarray(obs_img, np.int64)
+    obs_pt = np.asarray(obs_pt, np.int64)
+    order = np.argsort(obs_pt, kind="stable")
+    obs_img, obs_pt = obs_img[order], obs_pt[order]
+    d = centers[obs_img] - xyz[obs_pt]
+    d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+
+    # per-track co-observation pairs, generated per unique track length
+    upt, starts, tlen = np.unique(obs_pt, return_index=True,
+                                  return_counts=True)
+    pair_i, pair_j, pair_cos = [], [], []
+    for t in np.unique(tlen):
+        if t < 2:
+            continue
+        seg = starts[tlen == t]                      # [S] segment starts
+        la, lb = np.triu_indices(int(t), 1)          # [C] local combos
+        ga = (seg[:, None] + la[None, :]).ravel()    # [S*C] global obs idx
+        gb = (seg[:, None] + lb[None, :]).ravel()
+        pair_i.append(obs_img[ga])
+        pair_j.append(obs_img[gb])
+        pair_cos.append(np.sum(d[ga] * d[gb], axis=1))
+    if not pair_i:
+        return score
+    ii = np.concatenate(pair_i)
+    jj = np.concatenate(pair_j)
+    theta = np.degrees(np.arccos(np.clip(np.concatenate(pair_cos), -1, 1)))
+    a, b = np.minimum(ii, jj), np.maximum(ii, jj)
+    key = a * n + b
+
+    # per-pair count and the reference's t75 = sorted(theta)[int(len*0.75)]
+    order = np.lexsort((theta, key))
+    key_s, theta_s = key[order], theta[order]
+    kstarts = np.flatnonzero(np.r_[True, key_s[1:] != key_s[:-1]])
+    kcounts = np.diff(np.r_[kstarts, len(key_s)])
+    t75 = theta_s[kstarts + (kcounts * 3) // 4]
+    s = np.where(t75 < 1.0, 0.0, kcounts.astype(np.float64))
+    ka, kb = key_s[kstarts] // n, key_s[kstarts] % n
+    score[ka, kb] = s
+    score[kb, ka] = s
     return score
 
 

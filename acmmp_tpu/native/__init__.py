@@ -81,19 +81,23 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 
 def read_dmb_native(path: str) -> Optional[np.ndarray]:
+    """Returns the decoded array, or None to fall through to the numpy
+    reader — including on any native read failure, so error semantics
+    (FileNotFoundError for a missing file, ValueError for a corrupt one)
+    come from io/dmb.py regardless of whether the native lib is built."""
     lib = get_lib()
     if lib is None:
         return None
     header = (ctypes.c_int32 * 4)()
     rc = lib.an_read_dmb(path.encode(), header, None)
     if rc != 0:
-        raise ValueError(f"{path}: dmb read failed ({rc})")
+        return None
     _, h, w, nb = header[0], header[1], header[2], header[3]
     out = np.empty(h * w * nb, np.float32)
     rc = lib.an_read_dmb(path.encode(), header,
                          out.ctypes.data_as(ctypes.c_void_p))
     if rc != 0:
-        raise ValueError(f"{path}: dmb read failed ({rc})")
+        return None
     return out.reshape((h, w) if nb == 1 else (h, w, nb))
 
 

@@ -64,6 +64,8 @@ def multiview_zncc(
     params: PatchMatchParams,
     origin=None,             # (y0, x0) of ref_img's top-left pixel in the
                              # full image (tile shards carry a row offset)
+    n_views=None,            # dynamic true view count (padded slots skipped
+                             # by the Pallas kernel; oracle masks downstream)
 ) -> jax.Array:
     """Per-view bilateral ZNCC costs for each plane hypothesis field.
 
@@ -83,9 +85,9 @@ def multiview_zncc(
         if planes.ndim == 3:
             return multiview_zncc_pallas(
                 ref_img, src_imgs, vg, planes[None], params,
-                origin=origin)[0]
+                origin=origin, n_views=n_views)[0]
         return multiview_zncc_pallas(ref_img, src_imgs, vg, planes, params,
-                                     origin=origin)
+                                     origin=origin, n_views=n_views)
 
     H, W = ref_img.shape
     x, y = geo.pixel_grid(H, W)
@@ -105,6 +107,7 @@ def multiview_zncc_packed(
     params: PatchMatchParams,
     off0: jax.Array,         # active-parity row offset of local column 0
     origin=None,             # FULL-grid (y0, x0) of ref_img's top-left
+    n_views=None,            # dynamic true view count
 ) -> jax.Array:
     """`multiview_zncc` on a parity row-packed half grid (ops/parity.py):
     packed (i, j) is the full-grid pixel at local row 2i + (off0+j)%2.
@@ -120,9 +123,10 @@ def multiview_zncc_packed(
         if planes.ndim == 3:
             return multiview_zncc_pallas(
                 ref_img, src_imgs, vg, planes[None], params,
-                origin=origin, row_pack_off=off0)[0]
+                origin=origin, row_pack_off=off0, n_views=n_views)[0]
         return multiview_zncc_pallas(ref_img, src_imgs, vg, planes, params,
-                                     origin=origin, row_pack_off=off0)
+                                     origin=origin, row_pack_off=off0,
+                                     n_views=n_views)
 
     H, W = ref_img.shape
     x, y = geo.pixel_grid(H, W)

@@ -84,6 +84,8 @@ def geom_consistency_cost_pallas(
     kparams = jnp.stack([Kr[0, 0], Kr[1, 1], Kr[0, 2], Kr[1, 2], oy, ox, off])
 
     planes_t = jnp.transpose(planes, (0, 3, 1, 2))      # [K,4,H,W]
+    assert H % TILE_H == 0 and W % TILE_W == 0, (
+        f"grid must be ({TILE_H},{TILE_W})-aligned, got {(H, W)}")
     grid = (K, V, H // TILE_H, W // TILE_W)
     max_cost = params.geom_cost_max
 

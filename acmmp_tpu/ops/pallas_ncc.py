@@ -11,17 +11,35 @@ scans only the rows inside that tap's dynamic coordinate bounding box
 sweep on; wide only for the random exploration candidates), selecting
 lanes with `take_along_axis` and rows with compare-accumulate.
 
+Packed-row source layout (the round-2 speedup): Mosaic's lane gather
+(`take_along_axis`, axis=1) moves 32-bit words, so the source view is
+stored with R rows packed per word — R=4 uint8 rows (images are 8-bit,
+exactly the reference's uint8 CUDA textures) or R=2 bfloat16 rows (exact
+for 8-bit values, used when callers pass un-quantized floats). One gather
+then covers R source rows; the two bilinear rows are extracted with
+per-lane dynamic shifts. This cuts the dominant gather-op count by R and
+the chunk-scan trip count by ~R for wide (random) fields.
+
 Division of labor:
   * jnp (outside): 36 edge-clamped ref-tap shifts, bilateral weights
-    (static shifts + exp — XLA fuses these), ref-side ZNCC sums, and the
-    per-hypothesis homography fields (m = Kr^{-T} n, 1/w).
+    (static shifts + exp — XLA fuses these), ref-side ZNCC sums, the
+    per-hypothesis homography fields (m = Kr^{-T} n, 1/w), and the
+    packed-row source encoding.
   * Pallas (inside): per (hypothesis, view, tile): 36 warp coordinate
-    fields, per-tap bbox row scans fused with the weighted src-side
+    fields via a hoisted rank-1 form (per-tile base + di/dj direction
+    vectors), per-tap bbox row scans fused with the weighted src-side
     accumulations, final ZNCC assembly.
 
 Semantics match ops.ncc.multiview_zncc up to float reassociation: same
 clamps, same degenerate-variance guard, same center bounds test (edge
 padding makes clamp-to-padded-extent equal to clamp-to-true-extent).
+With the u8 layout the sampled source values are rint(clip(img, 0, 255))
+— a no-op for inputs quantized by engine.inputs.build_solver_inputs
+(reference parity: ACMMP's textures are uint8, src/acmmp_definitions.cpp).
+
+Views beyond `n_views` (shape-padded problem slots) are skipped: their
+cost tiles are written as cost_max without evaluating the patch loop
+(the grid still visits them, but each visit is one vector store).
 """
 
 from __future__ import annotations
@@ -36,6 +54,7 @@ from acmmp_tpu.ops import ncc as ncc_ops
 
 TILE_H = 8
 TILE_W = 128
+VMEM_RESIDENT_BYTES = 6 * 1024 * 1024
 
 
 def _round_up(v: int, m: int) -> int:
@@ -65,33 +84,67 @@ def _ref_side(ref_img: jax.Array, params: PatchMatchParams):
     return w_taps, wr_taps, refsums
 
 
+def _pack_rows_u8(src: jax.Array) -> jax.Array:
+    """[V, H, W] float (u8-valued) -> [V, H//4, W] int32, 4 rows/word
+    (row 4r+k in byte k)."""
+    q = jnp.clip(jnp.round(src), 0.0, 255.0).astype(jnp.uint32)
+    w = (q[:, 0::4] | (q[:, 1::4] << 8) | (q[:, 2::4] << 16)
+         | (q[:, 3::4] << 24))
+    return jax.lax.bitcast_convert_type(w, jnp.int32)
+
+
+def _pack_rows_bf16(src: jax.Array) -> jax.Array:
+    """[V, H, W] float -> [V, H//2, W] int32, 2 bf16 rows/word
+    (row 2r in the low half-word)."""
+    u = jax.lax.bitcast_convert_type(
+        src.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    w = u[:, 0::2] | (u[:, 1::2] << 16)
+    return jax.lax.bitcast_convert_type(w, jnp.int32)
+
+
 def multiview_zncc_pallas(
     ref_img: jax.Array,       # [H, W] edge-padded, H%8==0, W%128==0
     src_imgs: jax.Array,      # [V, Hs, Ws] edge-padded
     vg: ncc_ops.ViewGeometry,
     planes: jax.Array,        # [K, H, W, 4] camera-frame plane hypotheses
     params: PatchMatchParams,
-    force_bf16: bool = False,  # testing hook for the large-image layout
+    force_bf16: bool = False,  # testing hook for the bf16 packed layout
     origin=None,               # (y0, x0) scalar offset of the ref tile
     row_pack_off=None,         # parity row packing (ops/parity.py): planes
                                # are [K, H//2, W, 4] and packed (i, j) maps
                                # to local row 2i + (row_pack_off + j) % 2
+    n_views=None,              # dynamic true view count (padded slots are
+                               # skipped and written as cost_max)
 ) -> jax.Array:
     """Per-view bilateral ZNCC costs, [K, H, W, V] (or [K, H//2, W, V] when
     `row_pack_off` is given)."""
     assert planes.ndim == 4, "pallas path expects a leading hypothesis axis"
     K = planes.shape[0]
     H, W = ref_img.shape
+    assert H % TILE_H == 0 and W % TILE_W == 0, (
+        f"ref grid must be ({TILE_H},{TILE_W})-aligned, got {ref_img.shape}")
     row_packed = row_pack_off is not None
     Hg = planes.shape[1]           # output grid rows (H or H//2)
     if row_packed:
         assert Hg * 2 == H and Hg % TILE_H == 0, (H, planes.shape)
     V, Hs, Ws = src_imgs.shape
-    # 16-row alignment: bf16 sublane tiles are (16, 128)
-    Hs_p, Ws_p = _round_up(Hs, 16), _round_up(Ws, TILE_W)
+
+    # --- source representation (static per shape/flags) ---
+    # u8x4: 4 uint8 rows per 32-bit word — the production layout; exact for
+    #   u8-valued images (build_solver_inputs quantizes; the reference's
+    #   CUDA textures are uint8 so this is the reference's own precision).
+    # bf16x2: 2 bfloat16 rows per word — for float-valued sources (tests).
+    # One lane gather covers R rows; VMEM cost is 4/R bytes per pixel.
+    src_u8 = params.ncc_src_u8 and not force_bf16
+    R = 4 if src_u8 else 2
+    bw = 32 // R                   # bits per packed row
+    Hs_p, Ws_p = _round_up(Hs, 8 * R), _round_up(Ws, TILE_W)
     if (Hs_p, Ws_p) != (Hs, Ws):
         src_imgs = jnp.pad(src_imgs, ((0, 0), (0, Hs_p - Hs), (0, Ws_p - Ws)),
                            mode="edge")
+    src_dev = (_pack_rows_u8(src_imgs) if src_u8
+               else _pack_rows_bf16(src_imgs))     # [V, Hs_p//R, Ws_p] i32
+    all_resident = V * (Hs_p // R) * Ws_p * 4 <= VMEM_RESIDENT_BYTES
 
     taps = ncc_ops.tap_weights_spatial(params)
     T = len(taps)
@@ -102,16 +155,6 @@ def multiview_zncc_pallas(
         w_taps = parity.pack_rows(w_taps, row_pack_off)
         wr_taps = parity.pack_rows(wr_taps, row_pack_off)
         refsums = parity.pack_rows(refsums, row_pack_off)
-
-    # VMEM layout (static per shape): small scenes keep all views resident
-    # in f32 (fastest scan: one aligned 8-row load + row gather); large
-    # scenes hold ONE view at a time in bf16 — images are 8-bit grayscale,
-    # exact in bf16, and the reference's CUDA textures interpolate uint8 at
-    # ~9-bit weight precision, so this is at least as precise — which fits
-    # a DTU full-res view in VMEM with double-buffering.
-    all_resident = (V * Hs_p * Ws_p * 4 <= 6 * 1024 * 1024
-                    and not force_bf16)
-    src_dev = src_imgs if all_resident else src_imgs.astype(jnp.bfloat16)
 
     m = jnp.einsum("ij,khwj->khwi", vg.KrT, planes[..., :3],
                    precision=jax.lax.Precision.HIGHEST)
@@ -131,141 +174,204 @@ def multiview_zncc_pallas(
         ox = jnp.asarray(origin[1], jnp.float32)
     off = (jnp.asarray(row_pack_off, jnp.float32) if row_packed
            else jnp.float32(0.0))
-    org = jnp.stack([oy, ox, off])
+    nv = (jnp.asarray(n_views, jnp.float32) if n_views is not None
+          else jnp.float32(V))
+    org = jnp.stack([oy, ox, off, nv])
 
     grid = (K, V, Hg // TILE_H, W // TILE_W)
     cost_max = params.cost_max
     min_var = params.min_var
+    n_wchunks = (Hs_p // R) // TILE_H       # packed word-row chunks
 
     def kernel(a_ref, b_ref, swh_ref, org_ref, src_ref, m_ref, w_ref, wr_ref,
                rs_ref, out_ref):
         v = pl.program_id(1)
         ti = pl.program_id(2)
         tj = pl.program_id(3)
-        ii = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
-              + ti * TILE_H)
-        jj = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
-              + tj * TILE_W)
-        if row_packed:
-            # parity row packing: packed row i of column j holds the pixel
-            # at local row 2i + (off0 + j) % 2
-            rr = 2 * ii + (org_ref[2].astype(jnp.int32) + jj) % 2
-        else:
-            rr = ii
-        yy = rr.astype(jnp.float32) + org_ref[0]
-        xx = jj.astype(jnp.float32) + org_ref[1]
 
-        sw = swh_ref[v, 0]
-        sh = swh_ref[v, 1]
-        a00, a01, a02 = a_ref[v, 0, 0], a_ref[v, 0, 1], a_ref[v, 0, 2]
-        a10, a11, a12 = a_ref[v, 1, 0], a_ref[v, 1, 1], a_ref[v, 1, 2]
-        a20, a21, a22 = a_ref[v, 2, 0], a_ref[v, 2, 1], a_ref[v, 2, 2]
-        b0, b1, b2 = b_ref[v, 0], b_ref[v, 1], b_ref[v, 2]
-        m0 = m_ref[0, 0]
-        m1 = m_ref[0, 1]
-        m2 = m_ref[0, 2]
-        iw = m_ref[0, 3]
+        @pl.when(v.astype(jnp.float32) >= org_ref[3])
+        def _skip():
+            out_ref[0, 0] = jnp.full((TILE_H, TILE_W), cost_max, jnp.float32)
 
-        # center warp + in-bounds test (true extents)
-        mqc = (m0 * xx + m1 * yy + m2) * iw
-        pzc = a20 * xx + a21 * yy + a22 - b2 * mqc
-        cx = (a00 * xx + a01 * yy + a02 - b0 * mqc) / pzc
-        cy = (a10 * xx + a11 * yy + a12 - b1 * mqc) / pzc
-        in_bounds = (cx >= 0.0) & (cx < sw) & (cy >= 0.0) & (cy < sh)
+        @pl.when(v.astype(jnp.float32) < org_ref[3])
+        def _compute():
+            ii = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+                  + ti * TILE_H)
+            jj = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+                  + tj * TILE_W)
+            if row_packed:
+                # parity row packing: packed row i of column j holds the
+                # pixel at local row 2i + (off0 + j) % 2
+                rr = 2 * ii + (org_ref[2].astype(jnp.int32) + jj) % 2
+            else:
+                rr = ii
+            yy = rr.astype(jnp.float32) + org_ref[0]
+            xx = jj.astype(jnp.float32) + org_ref[1]
 
-        sum_w = rs_ref[0, 0]
-        sum_ref = rs_ref[0, 1]
-        sum_ref_ref = rs_ref[0, 2]
-        sum_src = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        sum_src_src = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        sum_ref_src = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            sw = swh_ref[v, 0]
+            sh = swh_ref[v, 1]
+            a00, a01, a02 = a_ref[v, 0, 0], a_ref[v, 0, 1], a_ref[v, 0, 2]
+            a10, a11, a12 = a_ref[v, 1, 0], a_ref[v, 1, 1], a_ref[v, 1, 2]
+            a20, a21, a22 = a_ref[v, 2, 0], a_ref[v, 2, 1], a_ref[v, 2, 2]
+            b0, b1, b2 = b_ref[v, 0], b_ref[v, 1], b_ref[v, 2]
+            m0 = m_ref[0, 0]
+            m1 = m_ref[0, 1]
+            m2 = m_ref[0, 2]
+            iw = m_ref[0, 3]
 
-        for t, (di, dj, _ws) in enumerate(taps):
-            qx = xx + jnp.float32(di)
-            qy = yy + jnp.float32(dj)
-            mq = (m0 * qx + m1 * qy + m2) * iw
-            px = a00 * qx + a01 * qy + a02 - b0 * mq
-            py = a10 * qx + a11 * qy + a12 - b1 * mq
-            pz = a20 * qx + a21 * qy + a22 - b2 * mq
-            inv_pz = 1.0 / pz
-            sx = jnp.clip(jnp.nan_to_num(px * inv_pz), 0.0, Ws_p - 1.0)
-            sy = jnp.clip(jnp.nan_to_num(py * inv_pz), 0.0, Hs_p - 1.0)
-            xf = jnp.floor(sx)
-            yf = jnp.floor(sy)
-            fx = sx - xf
-            fy = sy - yf
-            xi = xf.astype(jnp.int32)
-            yi = yf.astype(jnp.int32)
+            # hoisted rank-1 warp: the warped point of tap (di, dj) is
+            #   p(di, dj) = p00 + di * u + dj * t   (per component),
+            # with p00 the center warp and u/t per-tile direction fields —
+            # 6 fma per tap instead of re-deriving the homography.
+            m0i = m0 * iw
+            m1i = m1 * iw
+            mq00 = (m0 * xx + m1 * yy + m2) * iw
+            px00 = a00 * xx + a01 * yy + a02 - b0 * mq00
+            py00 = a10 * xx + a11 * yy + a12 - b1 * mq00
+            pz00 = a20 * xx + a21 * yy + a22 - b2 * mq00
+            ux = a00 - b0 * m0i
+            uy = a10 - b1 * m0i
+            uz = a20 - b2 * m0i
+            tx = a01 - b0 * m1i
+            ty = a11 - b1 * m1i
+            tz = a21 - b2 * m1i
 
-            # dynamic scan bounds for this tap: 8-row chunks covering rows
-            # yi..yi+1, column chunks covering xi..xi+1. Chunked scanning
-            # (8 rows per loop iteration, unrolled row select) is ~2-5x
-            # faster than per-row iterations: Mosaic's while-loop overhead
-            # dominates single-row bodies.
-            rb_lo = jnp.min(yi) // TILE_H
-            rb_hi = jnp.minimum(jnp.max(yi) + 1, Hs_p - 1) // TILE_H
-            n_rb = rb_hi + 1 - rb_lo
-            col_lo = jnp.min(xi) // TILE_W
-            # xi+1 can spill into the next column chunk; clamp to the last
-            # real chunk (the spilled corner has fx == 0 there)
-            col_hi = jnp.minimum((jnp.max(xi) + 1) // TILE_W,
-                                 Ws_p // TILE_W - 1)
-            n_cols = col_hi + 1 - col_lo
+            # center warp + in-bounds test (true extents)
+            cx = px00 / pz00
+            cy = py00 / pz00
+            in_bounds = (cx >= 0.0) & (cx < sw) & (cy >= 0.0) & (cy < sh)
 
-            def scan_body(i, carry):
-                acc = carry
-                r0 = (rb_lo + i // n_cols) * TILE_H
-                c0 = (col_lo + i % n_cols) * TILE_W
-                if all_resident:
-                    chunk = src_ref[v, pl.ds(r0, TILE_H), pl.ds(c0, TILE_W)]
-                else:
-                    # bf16 slices must be 16-row aligned: load the aligned
-                    # pair, keep the half this 8-row chunk addresses
-                    base = (r0 // 16) * 16
-                    c16 = src_ref[0, pl.ds(base, 16), pl.ds(c0, TILE_W)]
-                    chunk = jnp.where(r0 == base, c16[:TILE_H],
-                                      c16[TILE_H:]).astype(jnp.float32)
-                xl = xi - c0
-                xl1 = xl + 1
-                # fold the column bilinear weights with the in-chunk masks:
-                # lanes outside this chunk contribute 0, and contributions
-                # accumulate across chunks (x0/x1 can straddle a boundary)
-                a0 = jnp.where((xl >= 0) & (xl < TILE_W), 1.0 - fx, 0.0)
-                a1 = jnp.where((xl1 >= 0) & (xl1 < TILE_W), fx, 0.0)
-                xc0 = jnp.clip(xl, 0, TILE_W - 1)
-                xc1 = jnp.clip(xl1, 0, TILE_W - 1)
-                r0f = jnp.float32(0.0) + r0
-                for r in range(TILE_H):
-                    rowv = jnp.broadcast_to(chunk[r:r + 1, :],
-                                            (TILE_H, TILE_W))
-                    g0 = jnp.take_along_axis(rowv, xc0, axis=1)
-                    g1 = jnp.take_along_axis(rowv, xc1, axis=1)
-                    # row bilinear weight as a hat function: 1-fy at row yi,
-                    # fy at row yi+1, 0 elsewhere; sy is clipped so the
-                    # bottom edge (yi == Hs_p-1, fy == 0) gets full weight
-                    wy = jnp.maximum(1.0 - jnp.abs(sy - (r0f + r)), 0.0)
-                    acc = acc + wy * (g0 * a0 + g1 * a1)
-                return acc
+            sum_w = rs_ref[0, 0]
+            sum_ref = rs_ref[0, 1]
+            sum_ref_ref = rs_ref[0, 2]
+            sum_src = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            sum_src_src = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            sum_ref_src = jnp.zeros((TILE_H, TILE_W), jnp.float32)
 
-            zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-            val = jax.lax.fori_loop(0, n_rb * n_cols, scan_body, zero)
+            for t, (di, dj, _ws) in enumerate(taps):
+                fdi = jnp.float32(di)
+                fdj = jnp.float32(dj)
+                px = px00 + fdi * ux + fdj * tx
+                py = py00 + fdi * uy + fdj * ty
+                pz = pz00 + fdi * uz + fdj * tz
+                inv_pz = 1.0 / pz
+                sx = jnp.clip(jnp.nan_to_num(px * inv_pz), 0.0, Ws_p - 1.0)
+                sy = jnp.clip(jnp.nan_to_num(py * inv_pz), 0.0, Hs_p - 1.0)
+                xf = jnp.floor(sx)
+                yf = jnp.floor(sy)
+                fx = sx - xf
+                fy = sy - yf
+                xi = xf.astype(jnp.int32)
+                yi = yf.astype(jnp.int32)
+                yi_min = jnp.min(yi)
+                yi_max = jnp.max(yi)
 
-            wt = w_ref[0, t]
-            sum_src = sum_src + wt * val
-            sum_src_src = sum_src_src + wt * val * val
-            sum_ref_src = sum_ref_src + wr_ref[0, t] * val
+                # dynamic scan bounds for this tap, in packed-word chunks
+                # of (TILE_H words = 8*R real rows, TILE_W lanes). Chunked
+                # scanning (8 words per loop iteration, unrolled select)
+                # beats per-row loops: Mosaic's while-loop overhead
+                # dominates small bodies.
+                rb_lo = yi_min // (TILE_H * R)
+                rb_hi = jnp.minimum(yi_max + 1, Hs_p - 1) // (TILE_H * R)
+                n_rb = rb_hi + 1 - rb_lo
+                col_lo = jnp.min(xi) // TILE_W
+                # xi+1 can spill into the next column chunk; clamp to the
+                # last real chunk (the spilled corner has fx == 0 there)
+                col_hi = jnp.minimum((jnp.max(xi) + 1) // TILE_W,
+                                     Ws_p // TILE_W - 1)
+                n_cols = col_hi + 1 - col_lo
 
-        inv_sum_w = 1.0 / sum_w
-        mean_ref = sum_ref * inv_sum_w
-        mean_src = sum_src * inv_sum_w
-        var_ref = sum_ref_ref * inv_sum_w - mean_ref * mean_ref
-        var_src = sum_src_src * inv_sum_w - mean_src * mean_src
-        covar = sum_ref_src * inv_sum_w - mean_ref * mean_src
-        denom = jnp.sqrt(jnp.maximum(var_ref * var_src, 1e-30))
-        ncc = jnp.clip(1.0 - covar / denom, 0.0, cost_max)
-        degenerate = (var_ref < min_var) | (var_src < min_var)
-        cost = jnp.where(degenerate, cost_max, ncc)
-        out_ref[0, 0] = jnp.where(in_bounds, cost, cost_max)
+                one_m_fy = 1.0 - fy
+
+                def scan_body(i, carry):
+                    acc = carry
+                    r0w = (rb_lo + i // n_cols) * TILE_H   # word-row base
+                    c0 = (col_lo + i % n_cols) * TILE_W
+                    if all_resident:
+                        chunk = src_ref[v, pl.ds(r0w, TILE_H),
+                                        pl.ds(c0, TILE_W)]
+                    else:
+                        chunk = src_ref[0, pl.ds(r0w, TILE_H),
+                                        pl.ds(c0, TILE_W)]
+                    xl = xi - c0
+                    xl1 = xl + 1
+                    # fold the column bilinear weights with the in-chunk
+                    # masks: lanes outside this chunk contribute 0, and
+                    # contributions accumulate across chunks (x0/x1 can
+                    # straddle a boundary)
+                    a0 = jnp.where((xl >= 0) & (xl < TILE_W), 1.0 - fx, 0.0)
+                    a1 = jnp.where((xl1 >= 0) & (xl1 < TILE_W), fx, 0.0)
+                    xc0 = jnp.clip(xl, 0, TILE_W - 1)
+                    xc1 = jnp.clip(xl1, 0, TILE_W - 1)
+                    def row_contrib(pr, a):
+                        roww = jnp.broadcast_to(chunk[pr:pr + 1, :],
+                                                (TILE_H, TILE_W))
+                        g0 = jnp.take_along_axis(roww, xc0, axis=1)
+                        g1 = jnp.take_along_axis(roww, xc1, axis=1)
+                        # rows yi (weight 1-fy) and yi+1 (weight fy) are
+                        # extracted from the R-row word by per-lane dynamic
+                        # shifts; out-of-word rows get weight 0 and are
+                        # picked up by the word that holds them. sy is
+                        # clipped so the bottom edge (yi == Hs_p-1, fy == 0)
+                        # gets full weight.
+                        rw = (r0w + pr) * R
+                        k0 = yi - rw
+                        k1 = k0 + 1
+                        # shift amount: (k & (R-1)) * bw is cheaper than a
+                        # clip and safe for any k (weights zero it out);
+                        # range test as ONE unsigned compare (negatives
+                        # wrap to huge)
+                        s0 = (k0 & (R - 1)) * bw
+                        s1 = (k1 & (R - 1)) * bw
+                        w0 = jnp.where(
+                            jax.lax.bitcast_convert_type(k0, jnp.uint32) < R,
+                            one_m_fy, 0.0)
+                        w1 = jnp.where(
+                            jax.lax.bitcast_convert_type(k1, jnp.uint32) < R,
+                            fy, 0.0)
+                        e00 = jax.lax.shift_right_logical(g0, s0)
+                        e01 = jax.lax.shift_right_logical(g0, s1)
+                        e10 = jax.lax.shift_right_logical(g1, s0)
+                        e11 = jax.lax.shift_right_logical(g1, s1)
+                        if src_u8:
+                            v00 = (e00 & 0xFF).astype(jnp.float32)
+                            v01 = (e01 & 0xFF).astype(jnp.float32)
+                            v10 = (e10 & 0xFF).astype(jnp.float32)
+                            v11 = (e11 & 0xFF).astype(jnp.float32)
+                        else:
+                            bc = lambda e: jax.lax.bitcast_convert_type(  # noqa: E731
+                                e << 16, jnp.float32)
+                            v00, v01, v10, v11 = bc(e00), bc(e01), bc(e10), bc(e11)
+                        return a + (w0 * (a0 * v00 + a1 * v10)
+                                    + w1 * (a0 * v01 + a1 * v11))
+
+                    for pr in range(TILE_H):
+                        # NB: a scalar lax.cond guard per word-row (skip
+                        # rows no lane samples) was measured 2-3.7x SLOWER
+                        # on Mosaic — scf.if with vector carries defeats
+                        # the pipeliner. Keep the bodies unconditional.
+                        acc = row_contrib(pr, acc)
+                    return acc
+
+                zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                val = jax.lax.fori_loop(0, n_rb * n_cols, scan_body, zero)
+
+                wt = w_ref[0, t]
+                sum_src = sum_src + wt * val
+                sum_src_src = sum_src_src + wt * val * val
+                sum_ref_src = sum_ref_src + wr_ref[0, t] * val
+
+            inv_sum_w = 1.0 / sum_w
+            mean_ref = sum_ref * inv_sum_w
+            mean_src = sum_src * inv_sum_w
+            var_ref = sum_ref_ref * inv_sum_w - mean_ref * mean_ref
+            var_src = sum_src_src * inv_sum_w - mean_src * mean_src
+            covar = sum_ref_src * inv_sum_w - mean_ref * mean_src
+            denom = jnp.sqrt(jnp.maximum(var_ref * var_src, 1e-30))
+            ncc = jnp.clip(1.0 - covar / denom, 0.0, cost_max)
+            degenerate = (var_ref < min_var) | (var_src < min_var)
+            cost = jnp.where(degenerate, cost_max, ncc)
+            out_ref[0, 0] = jnp.where(in_bounds, cost, cost_max)
 
     out = pl.pallas_call(
         kernel,
@@ -274,14 +380,14 @@ def multiview_zncc_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),   # A [V,3,3]
             pl.BlockSpec(memory_space=pltpu.SMEM),   # B [V,3]
             pl.BlockSpec(memory_space=pltpu.SMEM),   # swh [V,2]
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # origin [2]
-            (pl.BlockSpec((V, Hs_p, Ws_p), lambda k, v, i, j: (0, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # origin/off/nv [4]
+            (pl.BlockSpec((V, Hs_p // R, Ws_p), lambda k, v, i, j: (0, 0, 0),
                           memory_space=pltpu.VMEM)
              if all_resident else
-             # one source view resident at a time (v changes every HT*WT
-             # grid steps), bf16: a DTU full-res view fits in VMEM with
-             # double-buffering
-             pl.BlockSpec((1, Hs_p, Ws_p), lambda k, v, i, j: (v, 0, 0),
+             # one packed source view resident at a time (v changes every
+             # HT*WT grid steps); a DTU full-res u8 view is ~1.9 MB so it
+             # fits in VMEM with double-buffering
+             pl.BlockSpec((1, Hs_p // R, Ws_p), lambda k, v, i, j: (v, 0, 0),
                           memory_space=pltpu.VMEM)),  # src block
             pl.BlockSpec((1, 4, TILE_H, TILE_W),
                          lambda k, v, i, j: (k, 0, i, j),

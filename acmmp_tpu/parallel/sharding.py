@@ -7,8 +7,8 @@ here the TPU way:
 
   * **view parallelism** (the data-parallel analog): each reference view's
     PatchMatch solve is independent within a stage → shard the view batch
-    over a 1-D mesh axis ``"view"`` with `shard_map`, `vmap` over the local
-    shard;
+    over a 1-D mesh axis ``"view"`` with `shard_map`, `lax.map` over the
+    local shard;
   * **cross-view gather for geometric consistency** (the one cross-chip data
     dependency, src/ACMMP.cpp:608-635): every chip needs the *current* depth
     maps of its problems' source views → one `lax.all_gather` of the depth
@@ -100,7 +100,11 @@ def _sharded_solve_impl(batch: SolverInputs, keys: jax.Array,
                         params: PatchMatchParams, mode: Mode,
                         mesh: Mesh) -> SolverOutputs:
     def local(b, k):
-        return jax.vmap(lambda i, kk: run_patchmatch(i, kk, params, mode))(b, k)
+        # sequential over the chip-local problems (lax.map, not vmap: the
+        # Pallas NCC kernel has no batching rule, and per-chip sequential
+        # solves are the right memory/throughput model for MVS anyway)
+        return jax.lax.map(
+            lambda bk: run_patchmatch(bk[0], bk[1], params, mode), (b, k))
 
     return shard_map(
         local, mesh=mesh,
@@ -130,11 +134,12 @@ def _sharded_geom_impl(batch: SolverInputs, depth_maps: jax.Array,
         # maps of its problems' source views → all-gather over ICI
         full = jax.lax.all_gather(dm, VIEW_AXIS, axis=0, tiled=True)  # [N,Hs,Ws]
 
-        def one(inp, idx, kk):
+        def one(x):
+            inp, idx, kk = x
             inp = inp._replace(src_depths=full[idx])   # [V, Hs, Ws]
             return run_patchmatch(inp, kk, params, mode)
 
-        return jax.vmap(one)(b, si, k)
+        return jax.lax.map(one, (b, si, k))
 
     return shard_map(
         local, mesh=mesh,
@@ -168,3 +173,33 @@ def shard_batch(mesh: Mesh, batch, spec=None):
     """Device-put a host batch with leading-axis view sharding."""
     sharding = NamedSharding(mesh, P(VIEW_AXIS))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def _gather_src_depths_impl(depth_maps, src_idx, mesh):
+    def local(dm, si):
+        full = jax.lax.all_gather(dm, VIEW_AXIS, axis=0, tiled=True)
+        return full[si]                     # [B_local, V, Hs, Ws]
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(VIEW_AXIS), P(VIEW_AXIS)),
+        out_specs=P(VIEW_AXIS),
+        check_rep=False,
+    )(depth_maps, src_idx)
+
+
+def gather_src_depths(mesh: Mesh, depth_maps: jax.Array,
+                      src_idx: jax.Array) -> jax.Array:
+    """The geometric pass's stage-barrier collective in the production
+    pipeline: every chip holds its own views' current depth maps
+    (`depth_maps` [N, Hs, Ws], view-sharded); one `lax.all_gather` over ICI
+    replaces the reference's per-problem disk reloads of neighbor depths
+    (src/ACMMP.cpp:608-635), then a local integer gather picks each
+    problem's source maps (`src_idx` [B, V] indices into the view axis).
+    Returns [B, V, Hs, Ws], view-sharded. Both leading dims must be
+    multiples of the mesh size."""
+    n = mesh.devices.size
+    assert depth_maps.shape[0] % n == 0, (depth_maps.shape, n)
+    assert src_idx.shape[0] % n == 0, (src_idx.shape, n)
+    return _gather_src_depths_impl(depth_maps, src_idx, mesh)

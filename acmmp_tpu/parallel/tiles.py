@@ -103,31 +103,55 @@ def _tile_solve_impl(inputs: SolverInputs, key, params, mode, mesh):
         else:
             planes0 = samp_ops.random_plane(
                 k_init, cam, x_l, y_l, repl.depth_min, repl.depth_max)
+        # init NCC on the halo-extended ref rows so the +-patch_radius ref
+        # taps of boundary pixels read TRUE neighbor rows instead of
+        # clamping at the shard seam (the NCC at pixel p only reads the
+        # plane AT p, so the halo plane rows can be anything — zeros here —
+        # and their outputs are sliced away)
+        rt0, rb0 = _exchange_halos(ref_rows, Pn)
+        ref_e0 = _ext(ref_rows, rt0, rb0)
+        planes0_e = jnp.concatenate(
+            [jnp.zeros((HALO, W, 4), planes0.dtype), planes0,
+             jnp.zeros((HALO, W, 4), planes0.dtype)], axis=0)
         per_view = ncc_ops.multiview_zncc(
-            ref_rows, repl.src_imgs, vg, planes0, params,
-            origin=(y_l[0, 0], x_l[0, 0]))
+            ref_e0, repl.src_imgs, vg, planes0_e, params,
+            origin=(y_l[0, 0] - HALO, x_l[0, 0]),
+            n_views=jnp.sum(repl.view_mask))[HALO:HALO + rows]
         costs0, selected0 = ncc_ops.initial_cost_and_views(
             per_view, repl.view_mask, params)
+        geom_pv0 = None
+        if mode.geom_consistency:
+            from acmmp_tpu.ops.geom import geom_consistency_cost
+
+            geom_pv0 = geom_consistency_cost(
+                cam, repl.src_cams, repl.src_depths, planes0[None], x_l, y_l,
+                params)[0]
         state = SolverState(planes=planes0, costs=costs0, selected=selected0,
-                            pre_costs=costs0)
+                            pre_costs=costs0, ncc_pv=per_view,
+                            geom_pv=geom_pv0)
 
         # ---- sweeps on the halo-extended tile ----
         x_e = jax.lax.broadcasted_iota(jnp.float32, (rows + 2 * HALO, W), 1)
         y_e = (jax.lax.broadcasted_iota(jnp.float32, (rows + 2 * HALO, W), 0)
                + y0 - HALO)
         black_e = (x_e.astype(jnp.int32) + y_e.astype(jnp.int32)) % 2 == 0
-        rt, rb = _exchange_halos(ref_rows, Pn)
-        ext_inputs = repl._replace(ref_img=_ext(ref_rows, rt, rb))
+        ext_inputs = repl._replace(ref_img=ref_e0)
 
         for s in range(2 * params.max_iterations):
             pt, pb = _exchange_halos(state.planes, Pn)
             ct, cb = _exchange_halos(state.costs, Pn)
             st, sb = _exchange_halos(state.selected, Pn)
+            vt, vb = _exchange_halos(state.ncc_pv, Pn)
+            if mode.geom_consistency:
+                gt, gb = _exchange_halos(state.geom_pv, Pn)
             ext_state = SolverState(
                 planes=_ext(state.planes, pt, pb),
                 costs=_ext(state.costs, ct, cb),
                 selected=_ext(state.selected, st, sb),
                 pre_costs=_ext(state.pre_costs, ct, cb),
+                ncc_pv=_ext(state.ncc_pv, vt, vb),
+                geom_pv=(_ext(state.geom_pv, gt, gb)
+                         if mode.geom_consistency else None),
             )
             parity = black_e if s % 2 == 0 else ~black_e
             k = jax.random.fold_in(jax.random.fold_in(k_sweeps, s), idx)
@@ -138,6 +162,9 @@ def _tile_solve_impl(inputs: SolverInputs, key, params, mode, mesh):
                 costs=new_ext.costs[HALO:HALO + rows],
                 selected=new_ext.selected[HALO:HALO + rows],
                 pre_costs=state.pre_costs,
+                ncc_pv=new_ext.ncc_pv[HALO:HALO + rows],
+                geom_pv=(new_ext.geom_pv[HALO:HALO + rows]
+                         if mode.geom_consistency else None),
             )
 
         # ---- finalize with depth halos for the median stencil ----

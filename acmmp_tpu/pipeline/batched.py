@@ -2,7 +2,7 @@
 
 The reference loops reference views sequentially on one GPU
 (src/main_ACMMP.cpp:112-137). Here a whole batch of views runs per
-dispatch: each solver stage (init / half-sweep / finalize) is vmapped over
+dispatch: each solver stage (init / half-sweep / finalize) is mapped over
 the view axis and executed as its own XLA program — the staged structure
 both avoids the XLA:TPU multi-sweep miscompile (see
 engine.patchmatch.run_patchmatch_staged) and is the natural place for
@@ -32,7 +32,7 @@ _specs = partial(jax.tree.map, lambda _: P(VIEW_AXIS))
 
 
 class BatchedSolver:
-    """Caches jitted vmapped (and shard_mapped) stage programs per
+    """Caches jitted batch-mapped (and shard_mapped) stage programs per
     (params, mode, shapes). One instance per pipeline run."""
 
     def __init__(self, params: PatchMatchParams, mesh: Optional[Mesh] = None):
@@ -46,13 +46,18 @@ class BatchedSolver:
             return self._fns[key]
         params = self.params
 
-        v_init = jax.vmap(lambda i, k: init_state(i, k, params, mode))
-        v_fin = jax.vmap(lambda s, i: finalize(s, i, params))
+        # lax.map (sequential over the local view batch), not vmap: the
+        # Pallas NCC kernel has no batching rule, and sequential per-chip
+        # solves match the reference's memory model
+        v_init = lambda i, k: jax.lax.map(          # noqa: E731
+            lambda x: init_state(x[0], x[1], params, mode), (i, k))
+        v_fin = lambda s, i: jax.lax.map(           # noqa: E731
+            lambda x: finalize(x[0], x[1], params), (s, i))
 
         def v_sweep(s, i, k, sweep_idx):
-            return jax.vmap(
-                lambda ss, ii, kk: sweep_once(ss, ii, sweep_idx, kk, params,
-                                              mode))(s, i, k)
+            return jax.lax.map(
+                lambda x: sweep_once(x[0], x[1], sweep_idx, x[2], params,
+                                     mode), (s, i, k))
 
         if self.mesh is None:
             fns = (
@@ -103,9 +108,15 @@ class BatchedSolver:
         kb = jnp.stack(kp)
 
         f_init, f_sweep, f_fin = self._stage_fns(mode)
-        state = f_init(batch, kb)
+        # derive stage keys exactly as run_patchmatch_staged does (split,
+        # then fold_in per sweep) so a given seed yields the same
+        # reconstruction in every executor configuration (DEVIATIONS.md
+        # reproducibility contract)
+        ks2 = jax.vmap(jax.random.split)(kb)               # [B, 2]
+        k_init, k_sweeps = ks2[:, 0], ks2[:, 1]
+        state = f_init(batch, k_init)
         for s in range(2 * self.params.max_iterations):
-            ks = jax.vmap(lambda k: jax.random.fold_in(k, 1000 + s))(kb)
+            ks = jax.vmap(lambda k: jax.random.fold_in(k, s))(k_sweeps)
             state = f_sweep(state, batch, ks, sweep_idx=s)
         out = f_fin(state, batch)
         out = jax.tree.map(np.asarray, out)

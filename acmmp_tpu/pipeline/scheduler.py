@@ -133,9 +133,14 @@ class _Prepared:
 def _prepare_problem(
     dense_folder, output_folder, problems, idx, cfg, loader,
     *, geom_consistency, hierarchy, multi_geometry, seeded,
+    skip_src_depth_files=False,
 ):
     """Disk -> SolverInputs for one problem (InputInitialization,
-    src/ACMMP.cpp:525-636). Returns None for skipped (sourceless) views."""
+    src/ACMMP.cpp:525-636). Returns None for skipped (sourceless) views.
+
+    With `skip_src_depth_files` (mesh path) the source depth maps are NOT
+    read from disk — they arrive sharded via the in-program all-gather
+    (parallel.sharding.gather_src_depths) and are attached by the caller."""
     params = cfg.patchmatch
     problem = problems[idx]
     rid = problem.ref_image_id
@@ -159,10 +164,11 @@ def _prepare_problem(
     kw = {}
     suffix = "depths_geom.dmb" if multi_geometry else "depths.dmb"
     if geom_consistency:
-        kw["src_depths"] = [
-            read_dmb(os.path.join(result_dir(output_folder, s), suffix))
-            for s in src_ids
-        ]
+        if not skip_src_depth_files:
+            kw["src_depths"] = [
+                read_dmb(os.path.join(result_dir(output_folder, s), suffix))
+                for s in src_ids
+            ]
         kw["init_depth"] = read_dmb(os.path.join(rdir, suffix))
         kw["init_normal_world"] = read_dmb(os.path.join(rdir, "normals.dmb"))
         kw["init_cost"] = read_dmb(os.path.join(rdir, "costs.dmb"))
@@ -198,7 +204,8 @@ def _prepare_problem(
                      kw.get("src_depths"))
 
 
-def _prior_second_solve_inputs(prep: _Prepared, out, cfg, hierarchy):
+def _prior_second_solve_inputs(prep: _Prepared, out, cfg, hierarchy,
+                               rdir=None):
     """Triangulated planar-prior inputs for the second solve, or None
     (GetSupportPoints..CudaPlanarPriorInitialization,
     acmmp_definitions.cpp:306-390)."""
@@ -212,6 +219,17 @@ def _prior_second_solve_inputs(prep: _Prepared, out, cfg, hierarchy):
     prior_planes, prior_mask = build_planar_prior(
         ref.cam, out.depth[:h, :w], out.cost[:h, :w], dmin, dmax, w, h,
     )
+    if cfg.debug_images and rdir is not None:
+        # triangulation debug image (the reference writes triangulation.png
+        # per view, acmmp_definitions.cpp:329): white = pixels covered by a
+        # valid triangulated prior plane
+        from PIL import Image as PILImage
+
+        mask_img = (np.zeros((h, w), np.uint8) if prior_mask is None
+                    else (np.asarray(prior_mask[:h, :w]) * 255).astype(
+                        np.uint8))
+        PILImage.fromarray(mask_img).save(
+            os.path.join(rdir, "triangulation.png"))
     if prior_planes is None:
         return None
     return build_solver_inputs(
@@ -255,6 +273,7 @@ def process_problem(
     if prep is None:
         return
     rid = prep.problem.ref_image_id
+    rdir = result_dir(output_folder, rid)
     mode = Mode(geom_consistency=geom_consistency, hierarchy=hierarchy,
                 seeded=seeded)
     key = _problem_key(cfg, rid, pass_tag)
@@ -262,7 +281,8 @@ def process_problem(
                        _solve(prep.inputs, key, params=params, mode=mode))
 
     if planar_prior:
-        inputs2 = _prior_second_solve_inputs(prep, out, cfg, hierarchy)
+        inputs2 = _prior_second_solve_inputs(prep, out, cfg, hierarchy,
+                                             rdir=rdir)
         if inputs2 is not None:
             mode2 = Mode(geom_consistency=geom_consistency,
                          planar_prior=True, hierarchy=hierarchy)
@@ -295,14 +315,21 @@ def process_batch(
     """Batched equivalent of process_problem: many views per dispatch,
     grouped by static shape. The planar-prior second solve batches the
     subset of views whose triangulation produced priors (the reference
-    skips the second solve for the rest, acmmp_definitions.cpp:318-330)."""
+    skips the second solve for the rest, acmmp_definitions.cpp:318-330).
+
+    On a mesh, the geometric pass's source depth maps move via the
+    in-program all-gather (parallel.sharding.gather_src_depths) instead of
+    per-problem disk reloads — the reference's filesystem round-trip
+    (src/ACMMP.cpp:608-635) becomes one ICI collective."""
     params = cfg.patchmatch
+    collective = solver.mesh is not None and geom_consistency
     preps = []
     for i in indices:
         p = _prepare_problem(
             dense_folder, output_folder, problems, i, cfg, loader,
             geom_consistency=geom_consistency, hierarchy=hierarchy,
-            multi_geometry=multi_geometry, seeded=seeded)
+            multi_geometry=multi_geometry, seeded=seeded,
+            skip_src_depth_files=collective)
         if p is not None:
             preps.append(p)
     if not preps:
@@ -318,6 +345,10 @@ def process_batch(
     for pp in preps:
         groups.setdefault(bucket(pp), []).append(pp)
 
+    if collective:
+        _attach_gathered_src_depths(
+            groups, problems, output_folder, solver.mesh, multi_geometry)
+
     for group in groups.values():
         keys = [_problem_key(cfg, pp.problem.ref_image_id, pass_tag)
                 for pp in group]
@@ -327,7 +358,9 @@ def process_batch(
         if planar_prior:
             second = []
             for j, (pp, out) in enumerate(zip(group, outs)):
-                inputs2 = _prior_second_solve_inputs(pp, out, cfg, hierarchy)
+                inputs2 = _prior_second_solve_inputs(
+                    pp, out, cfg, hierarchy,
+                    rdir=result_dir(output_folder, pp.problem.ref_image_id))
                 if inputs2 is not None:
                     second.append((j, inputs2))
             if second:
@@ -346,6 +379,79 @@ def process_batch(
                            geom_consistency)
             stage_metrics(log, f"view {rid:08d}", out.depth[:pp.h, :pp.w],
                           out.cost[:pp.h, :pp.w])
+
+
+def _attach_gathered_src_depths(groups, problems, output_folder, mesh,
+                                multi_geometry) -> None:
+    """Attach each prepared problem's source depth maps via the mesh
+    collective: every view's OWN current depth map is loaded locally (one
+    read per view — the multi-host analog: each host reads only its own
+    views' checkpoints), then one `lax.all_gather` over ICI distributes
+    them and a local gather picks each problem's sources. Falls back to
+    direct disk reads for problems whose sources are not in the view set
+    or whose shapes don't match the bank."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from acmmp_tpu.parallel.sharding import VIEW_AXIS, gather_src_depths
+
+    suffix = "depths_geom.dmb" if multi_geometry else "depths.dmb"
+    id2idx = {p.ref_image_id: k for k, p in enumerate(problems)}
+    n_mesh = mesh.devices.size
+
+    def disk_fallback(pp):
+        depths = np.stack([
+            _pad_to(read_dmb(os.path.join(
+                result_dir(output_folder, s), suffix)), hs, ws)
+            for s in pp.problem.src_image_ids] + [
+            np.zeros((hs, ws), np.float32)] * (
+                pp.v_pad - len(pp.problem.src_image_ids)))
+        pp.inputs = pp.inputs._replace(src_depths=jnp.asarray(depths))
+
+    for group in groups.values():
+        hs, ws = group[0].inputs.src_imgs.shape[-2:]
+        # one bank of every view's own current depth map at this bucket's
+        # padded shape; a view bigger than the bucket can't be banked
+        bank = None
+        bankable = True
+        maps = []
+        for p in problems:
+            d = read_dmb(os.path.join(
+                result_dir(output_folder, p.ref_image_id), suffix))
+            if d.shape[0] > hs or d.shape[1] > ws:
+                bankable = False
+                break
+            maps.append(_pad_to(d, hs, ws))
+        if bankable:
+            n_pad = ((len(maps) + n_mesh - 1) // n_mesh) * n_mesh
+            maps += [np.zeros((hs, ws), np.float32)] * (n_pad - len(maps))
+            bank = jax.device_put(
+                jnp.asarray(np.stack(maps)),
+                NamedSharding(mesh, P(VIEW_AXIS)))
+
+        group_ok = bank is not None and all(
+            all(s in id2idx for s in pp.problem.src_image_ids)
+            for pp in group)
+        if not group_ok:
+            log.info("geom collective unavailable for a %dx%d group; "
+                     "reading source depths from disk", hs, ws)
+            for pp in group:
+                disk_fallback(pp)
+            continue
+
+        b = len(group)
+        b_pad = ((b + n_mesh - 1) // n_mesh) * n_mesh
+        si = np.zeros((b_pad, group[0].v_pad), np.int32)
+        for j, pp in enumerate(group):
+            ids = [id2idx[s] for s in pp.problem.src_image_ids]
+            si[j, :len(ids)] = ids
+        gathered = gather_src_depths(mesh, bank, jnp.asarray(si))
+        for j, pp in enumerate(group):
+            pp.inputs = pp.inputs._replace(src_depths=gathered[j])
+
+
+def _pad_to(a: np.ndarray, h: int, w: int) -> np.ndarray:
+    return np.pad(np.asarray(a, np.float32),
+                  ((0, h - a.shape[0]), (0, w - a.shape[1])))
 
 
 def joint_bilateral_upsampling(dense_folder: str, output_folder: str,
@@ -457,18 +563,35 @@ def run_pipeline(dense_folder: str, cfg: PipelineConfig, mesh=None) -> str:
         scale -= 1
 
     fusion_folder = os.path.join(dense_folder, cfg.fusion_dir)
-    if (prior and cfg.multi_fusion) or cfg.force_fusion:
-        ply = run_prior_aware_fusion(
-            dense_folder, output_folder, fusion_folder, problems,
-            geom_consistency=True, fp=cfg.fusion,
-            single_match_penalty=cfg.fusion.single_match_penalty,
-            mask_dir=cfg.mask_dir,
-        )
-    else:
-        ply = run_fusion(
-            dense_folder, output_folder, problems, geom_consistency=True,
-            fp=cfg.fusion, image_dir=cfg.image_dir, mask_dir=cfg.mask_dir,
-        )
+    fusion_counts: Dict[int, int] = {}
+
+    def fusion_progress(rid, n_accepted):
+        fusion_counts[rid] = n_accepted
+        log.info("fusion view %08d: %d points accepted", rid, n_accepted)
+
+    debug_dir = output_folder if cfg.debug_images else None
+    with profiled("fusion"):
+        if (prior and cfg.multi_fusion) or cfg.force_fusion:
+            ply = run_prior_aware_fusion(
+                dense_folder, output_folder, fusion_folder, problems,
+                geom_consistency=True, fp=cfg.fusion,
+                single_match_penalty=cfg.fusion.single_match_penalty,
+                mask_dir=cfg.mask_dir, progress=fusion_progress, mesh=mesh,
+                debug_dir=debug_dir,
+            )
+        else:
+            ply = run_fusion(
+                dense_folder, output_folder, problems, geom_consistency=True,
+                fp=cfg.fusion, image_dir=cfg.image_dir, mask_dir=cfg.mask_dir,
+                progress=fusion_progress, mesh=mesh, debug_dir=debug_dir,
+            )
+    if fusion_counts:
+        total = sum(fusion_counts.values())
+        log.info("fusion: %d points from %d views (min %d / median %d / "
+                 "max %d per view)", total, len(fusion_counts),
+                 min(fusion_counts.values()),
+                 int(np.median(list(fusion_counts.values()))),
+                 max(fusion_counts.values()))
     elapsed = _time.time() - t_start
     log.info("wrote %s", ply)
     # the BASELINE throughput metric: depth-map solves per second

@@ -60,3 +60,48 @@ def test_paired_tests():
     assert {a, b} == {"base", "better"}
     assert abs(abs(diff) - 0.5) < 1e-9
     assert p < 0.01
+
+
+def test_obsmask_masks_both_directions(tmp_path):
+    """Toy SampleSet: a 3-voxel-observable volume + a table plane. Points
+    outside the observable voxels must not count against accuracy; GT below
+    the plane must not count against completeness (BaseEvalMain_web.m /
+    PointCompareMain.m semantics)."""
+    import os
+
+    import numpy as np
+    from scipy.io import savemat
+
+    from acmmp_tpu.eval.dtu import dtu_metrics
+    from acmmp_tpu.eval.obsmask import DtuObsMask
+
+    mdir = tmp_path / "ObsMask"
+    os.makedirs(mdir)
+    mask = np.zeros((4, 4, 4), np.uint8)
+    mask[1, 1, 1] = 1        # only voxel around (1, 1, 1) observable
+    bb = np.array([[0.0, 0.0, 0.0], [4.0, 4.0, 4.0]])
+    savemat(str(mdir / "ObsMask7_10.mat"),
+            {"ObsMask": mask, "BB": bb, "Res": 1.0})
+    savemat(str(mdir / "Plane7.mat"),
+            {"P": np.array([0.0, 0.0, 1.0, -0.5])})  # keeps z > 0.5
+    obs = DtuObsMask.load(str(tmp_path), 7)
+
+    assert obs.accuracy_mask(np.array([[1.1, 0.9, 1.0]]))[0]
+    assert not obs.accuracy_mask(np.array([[3.0, 3.0, 3.0]]))[0]
+    assert not obs.accuracy_mask(np.array([[-9.0, 0.0, 0.0]]))[0]
+    assert obs.completeness_mask(np.array([[0, 0, 1.0]]))[0]
+    assert not obs.completeness_mask(np.array([[0, 0, 0.0]]))[0]
+
+    gt = np.array([[1.0, 1.0, 1.0],      # observable, above plane
+                   [0.0, 0.0, 0.1]])     # below plane: completeness-masked
+    # recon: one good point at the observable voxel + one far outlier
+    # OUTSIDE the observable volume -> outlier must not hurt accuracy
+    recon = np.array([[1.0, 1.0, 1.05], [3.5, 3.5, 3.5]])
+    m = dtu_metrics(recon, gt, dst=0.0, obs_mask=obs)
+    assert m["acc_mean"] < 0.1, m["acc_mean"]
+    # completeness counts only the above-plane GT point (distance 0.05)
+    assert m["completeness_mean"] < 0.1, m["completeness_mean"]
+    # unmasked for contrast: the outlier and the below-plane GT hurt
+    m0 = dtu_metrics(recon, gt, dst=0.0)
+    assert m0["acc_mean"] > m["acc_mean"]
+    assert m0["completeness_mean"] > m["completeness_mean"]

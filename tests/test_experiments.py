@@ -113,3 +113,66 @@ def test_visualize_headless(tmp_path):
                         cost=rng.uniform(0, 2, (32, 48)))
     for p in (p1, p2, p3):
         assert os.path.getsize(p) > 1000
+
+
+@pytest.mark.slow
+def test_analyze_scene_five_method_grid(tmp_path):
+    """The full reference method grid (dtu_statistics.py:14) from one
+    analyze_scene call: no_prior, x2, boost_1, boost_single, full_prior —
+    each producing its named PLY, scoreable into one MetricTable."""
+    import numpy as np
+
+    from acmmp_tpu.config import (
+        FusionParams, PatchMatchParams, PipelineConfig,
+    )
+    from acmmp_tpu.eval.dtu import dtu_metrics
+    from acmmp_tpu.eval.stats import MetricTable
+    from acmmp_tpu.experiments.dtu_analysis import analyze_scene
+    from acmmp_tpu.io import read_ply
+    from acmmp_tpu.utils.synth import textured_plane_scene
+    from tests.test_pipeline import write_dense_folder
+
+    images, cams, plane_z = textured_plane_scene(n_views=4, width=64,
+                                                 height=48)
+    dense = write_dense_folder(tmp_path, images, cams)
+    cfg = PipelineConfig(
+        patchmatch=PatchMatchParams(patch_size=7),
+        fusion=FusionParams(num_consistent_thresh=2),
+        pad_h=1, pad_w=1,
+    )
+    # synthetic "GT": a dense grid on the true plane
+    xs, ys = np.meshgrid(np.linspace(-1.5, 1.5, 60),
+                         np.linspace(-1.1, 1.1, 45))
+    gt = np.stack([xs.ravel(), ys.ravel(),
+                   np.full(xs.size, plane_z)], axis=1)
+    plys = analyze_scene(dense, cfg, gt_points=gt)
+    expected = {"no_prior", "x2", "boost_1", "boost_single", "full_prior"}
+    assert expected.issubset(plys.keys()), sorted(plys)
+    table = MetricTable()
+    for method, ply in plys.items():
+        pts, _, _ = read_ply(ply)
+        assert len(pts) > 0, method
+        table.add(method, "synth", 3, dtu_metrics(pts, gt, dst=0.0))
+    assert set(table.methods()) == expected
+
+
+def test_render_cloud_screenshot(tmp_path):
+    """Software point-cloud screenshot (visualise_results equivalent)."""
+    import numpy as np
+
+    from acmmp_tpu.experiments.visualize import render_cloud_screenshot
+    from acmmp_tpu.io import write_ply
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(2000, 3)).astype(np.float32)
+    nrm = np.tile(np.array([[0, 0, -1]], np.float32), (2000, 1))
+    col = rng.integers(0, 255, (2000, 3)).astype(np.uint8)
+    ply = str(tmp_path / "cloud.ply")
+    write_ply(ply, pts, nrm, col)
+    out = render_cloud_screenshot(ply, str(tmp_path / "shot.png"),
+                                  width=320, height=240)
+    from PIL import Image as PILImage
+
+    img = np.asarray(PILImage.open(out).convert("RGB"))
+    assert img.shape == (240, 320, 3)
+    assert (img != 255).any(), "screenshot is blank"

@@ -71,13 +71,16 @@ def test_zncc_matches_scalar_oracle():
     vg = ncc_ops.make_view_geometry(ref_c, inp.src_cams)
     costs = np.asarray(ncc_ops.multiview_zncc_jit(inp.ref_img, inp.src_imgs, vg,
                                               planes, PARAMS))
-    # scalar oracle at a few interior pixels
+    # scalar oracle at a few interior pixels, on the same 8-bit-quantized
+    # pixels build_solver_inputs hands the engine (reference u8 contract)
+    ref_q = np.rint(np.clip(images[0], 0.0, 255.0))
+    src_q = np.rint(np.clip(images[1], 0.0, 255.0))
     for (px, py) in [(20, 15), (32, 24), (44, 30)]:
         plane = np.asarray(planes[py, px])
         A, B, KrT = geo.homography_coeffs(ref_c, src_c)
         H = np.asarray(geo.plane_homography(A, B, KrT, jnp.asarray(plane)))
         oracle = _oracle_bilateral_ncc(
-            images[0], images[1], H, px, py, PARAMS,
+            ref_q, src_q, H, px, py, PARAMS,
             int(cams[1].width), int(cams[1].height))
         assert abs(costs[py, px, 0] - oracle) < 2e-3, (px, py)
 

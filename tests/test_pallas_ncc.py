@@ -82,6 +82,26 @@ def test_matches_oracle_bf16_layout():
     _compare(planes[None], inputs, vg, force_bf16=True)
 
 
+def test_one_view_resident_layout(monkeypatch):
+    """The one-source-view-at-a-time VMEM layout (large scenes) must match
+    the all-resident layout bit-for-bit — forced by shrinking the
+    residency budget."""
+    from acmmp_tpu.ops import pallas_ncc
+
+    inputs, vg, x, y, plane_z = _setup()
+    n = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), x.shape + (3,))
+    n_cam = geo.normal_world_to_cam(inputs.ref_cam, n)
+    planes = geo.plane_from_depth_normal(
+        inputs.ref_cam, x, y, jnp.full(x.shape, plane_z), n_cam)[None]
+    with pltpu.force_tpu_interpret_mode():
+        all_res = multiview_zncc_pallas(
+            inputs.ref_img, inputs.src_imgs, vg, planes, PARAMS)
+        monkeypatch.setattr(pallas_ncc, "VMEM_RESIDENT_BYTES", 1)
+        one_view = multiview_zncc_pallas(
+            inputs.ref_img, inputs.src_imgs, vg, planes, PARAMS)
+    np.testing.assert_array_equal(np.asarray(all_res), np.asarray(one_view))
+
+
 def test_packed_matches_full():
     """Parity row-packed evaluation (kernel + oracle) must equal the packed
     rows of the full-grid result."""

@@ -35,7 +35,7 @@ def test_full_pipeline_synthetic(tmp_path):
     cfg = PipelineConfig(
         patchmatch=PatchMatchParams(patch_size=7),
         fusion=FusionParams(num_consistent_thresh=2),
-        pad_h=1, pad_w=1,
+        pad_h=1, pad_w=1, debug_images=True,
     )
     ply = run_pipeline(dense, cfg)
     assert os.path.exists(ply)
@@ -52,6 +52,12 @@ def test_full_pipeline_synthetic(tmp_path):
                                        "depths_geom.dmb"))
     assert os.path.exists(os.path.join(dense, "ACMMP", "2333_00000000",
                                        "normals.dmb"))
+    # debug artifacts (reference: approved_pixels_cam_N.png,
+    # acmmp_definitions.cpp:1035-1038; triangulation.png, :329)
+    assert os.path.exists(os.path.join(dense, "ACMMP",
+                                       "approved_pixels_cam_0.png"))
+    assert os.path.exists(os.path.join(dense, "ACMMP", "2333_00000000",
+                                       "triangulation.png"))
 
 
 @pytest.mark.slow
@@ -74,13 +80,41 @@ def test_full_pipeline_batched_mesh(tmp_path):
     )
     ply = run_pipeline(dense, cfg, mesh=make_view_mesh())
     pts, normals, colors = read_ply(ply)
-    # batched solves are statistically equivalent per view (verified stage
-    # by stage) but use a different RNG stream; on a 64x48 scene the greedy
-    # fusion consumption amplifies that into large point-count swings (the
-    # rel-depth acceptance tolerance sits at the per-pixel error median
-    # here, so acceptance flips chaotically with the stream), so assert
-    # quality with only a loose count floor
+    # batched solves share the sequential path's RNG streams but run in a
+    # differently-fused XLA program; reassociation can flip pixels near
+    # acceptance thresholds, and on a 64x48 scene the greedy fusion
+    # consumption amplifies that into point-count swings — assert quality,
+    # keep the count floor loose
     assert len(pts) > 10, len(pts)
     err = np.abs(pts[:, 2] - plane_z)
     assert np.median(err) < 0.1, np.median(err)
     assert (err < 0.5).mean() > 0.9
+
+    # sharded pipeline ~ sequential pipeline, per-view: the mesh run (which
+    # moved the geometric pass's source depths via the in-program
+    # all-gather and fused in sharded groups) must agree with a sequential
+    # run on the same seed at almost every pixel
+    dense2 = write_dense_folder(tmp_path / "seq", images, cams)
+    cfg2 = PipelineConfig(
+        patchmatch=PatchMatchParams(patch_size=7),
+        fusion=FusionParams(num_consistent_thresh=2),
+        pad_h=1, pad_w=1,
+    )
+    run_pipeline(dense2, cfg2)
+    from acmmp_tpu.io import read_dmb
+    fracs = []
+    for i in range(4):
+        dm = read_dmb(os.path.join(dense, "ACMMP", f"2333_{i:08d}",
+                                   "depths_geom.dmb"))
+        ds = read_dmb(os.path.join(dense2, "ACMMP", f"2333_{i:08d}",
+                                   "depths_geom.dmb"))
+        close = np.abs(dm - ds) < 1e-2 * np.maximum(np.abs(ds), 1.0)
+        fracs.append(close.mean())
+        # interior medians must agree; pixel-level agreement is bounded
+        # below but not pinned (the two executors fuse differently, and on
+        # a 64x48 near-textureless plane many pixels sit at cost ties whose
+        # resolution flips with reassociation and then propagates)
+        itr = np.s_[6:-6, 8:-8]
+        assert abs(np.median(dm[itr]) - np.median(ds[itr])) < 0.1, i
+        assert close.mean() > 0.5, (i, close.mean())
+    assert np.mean(fracs) > 0.7, fracs

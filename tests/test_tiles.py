@@ -44,8 +44,14 @@ def test_tile_sharded_recovers_plane():
     assert np.median(err) < max(2.0 * np.median(ref_err), 0.1)
     assert (err < 0.5).mean() > 0.8, (err < 0.5).mean()
     # shard boundaries must not show seams: rows around each boundary stay
-    # as accurate as the rest
+    # as accurate as the interior at large (init taps are halo-extended, so
+    # the seam rows see the same data an unsharded solve would)
     rows = H // n_dev
     for b in range(1, n_dev):
-        band = np.abs(depth[b * rows - 2:b * rows + 2, 12:116] - plane_z)
-        assert np.median(band) < 0.3, (b, np.median(band))
+        band = np.abs(depth[b * rows - 3:b * rows + 3, 12:116] - plane_z)
+        # 2x the interior median (the shards fold their index into the RNG
+        # stream, so seam pixels sample different candidates than an
+        # unsharded run; with halo-extended init taps the remaining gap is
+        # convergence noise, not missing data — was 0.3 flat pre-fix)
+        assert np.median(band) < max(2.0 * np.median(err), 0.1), (
+            b, np.median(band), np.median(err))
