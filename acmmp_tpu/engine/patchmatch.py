@@ -538,7 +538,11 @@ def run_patchmatch_staged(inputs: SolverInputs, key: jax.Array,
     if "fns" not in _cache:
         _cache["fns"] = (
             jax.jit(init_state, static_argnames=("params", "mode")),
-            jax.jit(sweep_once, static_argnames=("sweep_idx", "params", "mode")),
+            # the previous state is dead after each half-sweep: donating it
+            # lets XLA write the new state in place (saves HBM traffic and
+            # peak memory at DTU sizes)
+            jax.jit(sweep_once, static_argnames=("sweep_idx", "params", "mode"),
+                    donate_argnums=(0,)),
             jax.jit(finalize, static_argnames=("params",)),
         )
     f_init, f_sweep, f_fin = _cache["fns"]

@@ -415,8 +415,15 @@ def _attach_gathered_src_depths(groups, problems, output_folder, mesh,
         bankable = True
         maps = []
         for p in problems:
-            d = read_dmb(os.path.join(
-                result_dir(output_folder, p.ref_image_id), suffix))
+            try:
+                d = read_dmb(os.path.join(
+                    result_dir(output_folder, p.ref_image_id), suffix))
+            except FileNotFoundError:
+                # a view that never solved (e.g. sourceless) can still be
+                # listed as someone's source; a zero map marks its depths
+                # invalid (sd <= 0 -> geom_cost_max, ops/geom.py)
+                maps.append(np.zeros((hs, ws), np.float32))
+                continue
             if d.shape[0] > hs or d.shape[1] > ws:
                 bankable = False
                 break
