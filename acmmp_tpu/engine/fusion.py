@@ -13,8 +13,10 @@ while vectorizing within a view. Within one reference view, pixels are
 scored against the masks as they stood when the view started (the reference
 also lets earlier pixels of the same view consume source pixels used by
 later ones; metric impact is negligible and the deviation is recorded in
-DEVIATIONS.md). On a pod, reference views shard across chips and the masks
-become a ragged all-reduce at view-group barriers.
+DEVIATIONS.md). On a pod, reference views shard across chips in groups:
+each chip computes its view's consistency parts, and the cheap greedy
+acceptance chain is replayed on the host in sequential order — sharded
+fusion output is identical to the single-chip output.
 """
 
 from __future__ import annotations
@@ -78,9 +80,13 @@ def _per_view_consistency(ref_cam, src_cams, src_depths, src_normals,
     return jax.vmap(one)(src_cams, src_depths, src_normals, src_masks)
 
 
-def _fuse_view_plain(ref_depth, ref_normal, ref_mask, ref_cam, src_cams,
-                     src_depths, src_normals, src_masks, view_mask,
-                     fp: FusionParams):
+def _fuse_view_plain_parts(ref_depth, ref_normal, ref_mask, ref_cam,
+                           src_cams, src_depths, src_normals, src_masks,
+                           view_mask, fp: FusionParams):
+    """The expensive per-view work of plain fusion WITHOUT the greedy
+    acceptance: per-view consistency flags/scores and source coordinates.
+    The sharded path replays the sequential greedy chain on the host from
+    exactly these parts (bitwise-equal to the sequential fusion)."""
     H, W = ref_depth.shape
     x, y = geo.pixel_grid(H, W)
     valid = (~ref_mask) & (ref_depth > 0.0) & (ref_depth < ref_cam.depth_max)
@@ -90,6 +96,15 @@ def _fuse_view_plain(ref_depth, ref_normal, ref_mask, ref_cam, src_cams,
         ref_depth, ref_normal, x, y, fp,
     )
     ok = ok & view_mask[:, None, None]
+    return valid, Xw, ok, dyn, rr, cc
+
+
+def _fuse_view_plain(ref_depth, ref_normal, ref_mask, ref_cam, src_cams,
+                     src_depths, src_normals, src_masks, view_mask,
+                     fp: FusionParams):
+    valid, Xw, ok, dyn, rr, cc = _fuse_view_plain_parts(
+        ref_depth, ref_normal, ref_mask, ref_cam, src_cams, src_depths,
+        src_normals, src_masks, view_mask, fp)
     n_cons = jnp.sum(ok, axis=0)
     d_cons = jnp.sum(jnp.where(ok, dyn, 0.0), axis=0)
     accept = valid & (n_cons >= fp.num_consistent_thresh) & (
@@ -107,15 +122,13 @@ def _fuse_view_plain(ref_depth, ref_normal, ref_mask, ref_cam, src_cams,
     return accept, Xw, consumed
 
 
-def _fuse_view_dual(ref_depth0, ref_normal0, ref_depth1, ref_normal1,
-                    ref_mask, ref_cam, src_cams,
-                    src_depths0, src_normals0, src_depths1, src_normals1,
-                    src_masks, view_mask, single_match_penalty,
-                    fp: FusionParams):
-    """Dual-hypothesis prior-aware fusion: candidate 0 = base recon,
-    candidate 1 = second recon; each candidate is scored against BOTH source
-    recons per view taking the better (get_consistency_metrics,
-    acmmp_definitions.cpp:454-518)."""
+def _fuse_view_dual_parts(ref_depth0, ref_normal0, ref_depth1, ref_normal1,
+                          ref_mask, ref_cam, src_cams,
+                          src_depths0, src_normals0, src_depths1,
+                          src_normals1, src_masks, view_mask,
+                          fp: FusionParams):
+    """Per-candidate consistency parts of dual fusion (greedy acceptance
+    replayed on the host by the sharded path, as in the plain variant)."""
     H, W = ref_depth0.shape
     x, y = geo.pixel_grid(H, W)
 
@@ -131,17 +144,37 @@ def _fuse_view_dual(ref_depth0, ref_normal0, ref_depth1, ref_normal1,
         dyn = jnp.where(ok0 & ok1, jnp.maximum(dyn0, dyn1),
                         jnp.where(ok0, dyn0, dyn1))
         dyn = jnp.where(ok, dyn, 0.0)
-        n = jnp.sum(ok, axis=0)
-        d = jnp.sum(dyn, axis=0)
-        passing = (n >= fp.num_consistent_thresh) & (
-            d > fp.consistency_scalar * n)
-        return Xw, ok, rr, cc, n, passing
+        return Xw, ok, dyn, rr, cc
 
     v0 = (~ref_mask) & (ref_depth0 > 0.0)
     v1 = (~ref_mask) & (ref_depth1 > 0.0)
-    Xw0, ok_v0, rr, cc, n0, pass0 = score(ref_depth0, ref_normal0)
-    Xw1, ok_v1, rr1, cc1, n1, pass1 = score(ref_depth1, ref_normal1)
-    pass0, pass1 = pass0 & v0, pass1 & v1
+    return v0, v1, score(ref_depth0, ref_normal0), \
+        score(ref_depth1, ref_normal1)
+
+
+def _fuse_view_dual(ref_depth0, ref_normal0, ref_depth1, ref_normal1,
+                    ref_mask, ref_cam, src_cams,
+                    src_depths0, src_normals0, src_depths1, src_normals1,
+                    src_masks, view_mask, single_match_penalty,
+                    fp: FusionParams):
+    """Dual-hypothesis prior-aware fusion: candidate 0 = base recon,
+    candidate 1 = second recon; each candidate is scored against BOTH source
+    recons per view taking the better (get_consistency_metrics,
+    acmmp_definitions.cpp:454-518)."""
+    v0, v1, p0, p1 = _fuse_view_dual_parts(
+        ref_depth0, ref_normal0, ref_depth1, ref_normal1, ref_mask,
+        ref_cam, src_cams, src_depths0, src_normals0, src_depths1,
+        src_normals1, src_masks, view_mask, fp)
+    Xw0, ok_v0, dyn_v0, rr, cc = p0
+    Xw1, ok_v1, dyn_v1, rr1, cc1 = p1
+    n0 = jnp.sum(ok_v0, axis=0)
+    n1 = jnp.sum(ok_v1, axis=0)
+    d0 = jnp.sum(dyn_v0, axis=0)
+    d1 = jnp.sum(dyn_v1, axis=0)
+    pass0 = (n0 >= fp.num_consistent_thresh) & (
+        d0 > fp.consistency_scalar * n0) & v0
+    pass1 = (n1 >= fp.num_consistent_thresh) & (
+        d1 > fp.consistency_scalar * n1) & v1
 
     both = pass0 & pass1
     use1 = jnp.where(both, n1 >= n0, pass1)
@@ -289,12 +322,12 @@ def fuse_views(views: Dict[int, FusionView], problems: Sequence[Problem],
 
     `views` maps image id -> FusionView; masks mutate greedily between
     reference views exactly like the reference's outer loop
-    (acmmp_definitions.cpp:920-1031). With a mesh, reference views fuse in
-    parallel groups of mesh size (shard_map over the "view" axis) and the
-    greedy masks are exchanged at group barriers — members of one group
-    score against the masks as they stood when the group started (the
-    reference's sequential semantics at group granularity; its own output
-    is already traversal-order-dependent, DEVIATIONS.md #14)."""
+    (acmmp_definitions.cpp:920-1031). With a mesh, the heavy per-view
+    scoring (project/gather/threshold) runs in parallel groups of mesh
+    size (shard_map over the "view" axis) and the sequential greedy
+    consumption is replayed on the host from the returned per-view parts —
+    the fused cloud equals the sequential one (test_parallel pins exact
+    equality)."""
     sinks = ([], [], [])
     probs = [p for p in problems
              if [s for s in p.src_image_ids if s in views]]
@@ -347,9 +380,10 @@ def fuse_views(views: Dict[int, FusionView], problems: Sequence[Problem],
 
 
 @functools.lru_cache(maxsize=None)
-def _group_fuse_fn(mesh, prior_aware, single_match_penalty, fp):
-    """Cached jitted shard_map program: one fusion kernel per chip over a
-    stacked group of reference views."""
+def _group_parts_fn(mesh, prior_aware, fp):
+    """Cached jitted shard_map program: the per-view consistency PARTS of
+    one fusion kernel per chip over a stacked group of reference views
+    (greedy acceptance happens on the host, see _fuse_group_sharded)."""
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -362,10 +396,10 @@ def _group_fuse_fn(mesh, prior_aware, single_match_penalty, fp):
             def one(x):
                 a, c = x
                 if prior_aware:
-                    return _fuse_view_dual(
-                        single_match_penalty=single_match_penalty, fp=fp,
-                        ref_cam=c["ref_cam"], src_cams=c["src_cams"], **a)
-                return _fuse_view_plain(
+                    return _fuse_view_dual_parts(
+                        fp=fp, ref_cam=c["ref_cam"],
+                        src_cams=c["src_cams"], **a)
+                return _fuse_view_plain_parts(
                     fp=fp, ref_cam=c["ref_cam"], src_cams=c["src_cams"], **a)
             return jax.lax.map(one, (arrs, cams))
 
@@ -380,16 +414,19 @@ def _group_fuse_fn(mesh, prior_aware, single_match_penalty, fp):
 
 
 def _fuse_group_sharded(mesh, asm, prior_aware, single_match_penalty, fp):
-    """Fuse one group of reference views in parallel over the mesh: stack
-    the per-view arrays on a leading "view" axis (ref fields padded to the
-    group-max extent; slack group slots repeat the last member and are
-    dropped), run the shard_mapped kernel, return per-member
+    """Fuse one group of reference views with the expensive per-view work
+    (project/gather/threshold/score) parallel over the mesh, then replay
+    the reference's sequential greedy-consumption chain on the host from
+    the returned parts — results are IDENTICAL to the sequential fusion
+    (same traversal order, same mask state per member); only the heavy
+    arithmetic is sharded. Returns per-member
     (accept, Xw, normal|None, consumed)."""
     g = len(asm)
     n = int(mesh.devices.size)
     g_pad = ((g + n - 1) // n) * n
     rh = max(a[1].depth.shape[0] for a in asm)
     rw = max(a[1].depth.shape[1] for a in asm)
+    sh, sw = asm[0][3]["src_masks"].shape[1:3]
 
     def padref(x):
         x = np.asarray(x)
@@ -413,14 +450,82 @@ def _fuse_group_sharded(mesh, asm, prior_aware, single_match_penalty, fp):
         lambda *xs: jnp.stack(list(xs) + [xs[-1]] * (g_pad - g)),
         *[a[4] for a in asm])
 
-    res = _group_fuse_fn(mesh, prior_aware, single_match_penalty, fp)(
-        stacked, cam_stack)
+    res = jax.tree.map(np.asarray,
+                       _group_parts_fn(mesh, prior_aware, fp)(
+                           stacked, cam_stack))
+
+    # host-side greedy chain: delta[s] = source pixels consumed by EARLIER
+    # members of this group (pre-group consumption is already in the masks
+    # the kernel sampled), so the chain reproduces the sequential loop's
+    # mask state for every member exactly
+    delta = {}
+    thr = fp.num_consistent_thresh
+    cs = fp.consistency_scalar
+
+    def masked_ok(ok, rr, cc, src_ids):
+        ok = ok.copy()
+        for j, s in enumerate(src_ids):
+            dm = delta.get(s)
+            if dm is not None:
+                ok[j] &= ~dm[rr[j], cc[j]]
+        return ok
+
+    def ref_delta(i, valid):
+        dm = delta.get(i)
+        if dm is None:
+            return valid
+        crop = np.zeros((rh, rw), bool)
+        hh, ww = min(rh, dm.shape[0]), min(rw, dm.shape[1])
+        crop[:hh, :ww] = dm[:hh, :ww]
+        return valid & ~crop
+
+    def consume(accept, ok, rr, cc, src_ids):
+        consumed = np.zeros((len(ok), sh, sw), bool)
+        for j, s in enumerate(src_ids):
+            sel = accept & ok[j]
+            consumed[j, rr[j][sel], cc[j][sel]] = True
+            dm = delta.setdefault(s, np.zeros((sh, sw), bool))
+            dm |= consumed[j]
+        return consumed
+
     out = []
-    for j in range(g):
+    for k, (i, rv, src_ids, _a, _c) in enumerate(asm):
         if prior_aware:
-            out.append((res[0][j], res[1][j], res[2][j], res[3][j]))
+            v0, v1 = res[0][k], res[1][k]
+            Xw0, ok0, dyn0, rr0, cc0 = (q[k] for q in res[2])
+            Xw1, ok1, dyn1, rr1, cc1 = (q[k] for q in res[3])
+            ok0 = masked_ok(ok0, rr0, cc0, src_ids)
+            ok1 = masked_ok(ok1, rr1, cc1, src_ids)
+            v0 = ref_delta(i, v0)
+            v1 = ref_delta(i, v1)
+            n0, n1 = ok0.sum(0), ok1.sum(0)
+            d0 = (dyn0 * ok0).sum(0)
+            d1 = (dyn1 * ok1).sum(0)
+            pass0 = (n0 >= thr) & (d0 > cs * n0) & v0
+            pass1 = (n1 >= thr) & (d1 > cs * n1) & v1
+            both = pass0 & pass1
+            use1 = np.where(both, n1 >= n0, pass1)
+            harsh = thr + single_match_penalty
+            single_ok = np.where(use1, n1 >= harsh, n0 >= harsh)
+            accept = np.where(both, True, (pass0 | pass1) & single_ok)
+            accept = accept & (v0 | v1)
+            Xw = np.where(use1[..., None], Xw1, Xw0)
+            normal = np.where(use1[..., None], padref(rv.normal1),
+                              padref(rv.normal))
+            ok = np.where(use1[None, ...], ok1, ok0)
+            rr = np.where(use1[None, ...], rr1, rr0)
+            cc = np.where(use1[None, ...], cc1, cc0)
+            consumed = consume(accept, ok, rr, cc, src_ids)
+            out.append((accept, Xw, normal, consumed))
         else:
-            out.append((res[0][j], res[1][j], None, res[2][j]))
+            valid, Xw, ok, dyn, rr, cc = (q[k] for q in res)
+            ok = masked_ok(ok, rr, cc, src_ids)
+            valid = ref_delta(i, valid)
+            nc = ok.sum(0)
+            dc = (dyn * ok).sum(0)
+            accept = valid & (nc >= thr) & (dc > cs * nc)
+            consumed = consume(accept, ok, rr, cc, src_ids)
+            out.append((accept, Xw, None, consumed))
     return out
 
 
