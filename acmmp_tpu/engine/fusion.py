@@ -384,8 +384,9 @@ def _group_parts_fn(mesh, prior_aware, fp):
     """Cached jitted shard_map program: the per-view consistency PARTS of
     one fusion kernel per chip over a stacked group of reference views
     (greedy acceptance happens on the host, see _fuse_group_sharded)."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    from acmmp_tpu.parallel.shmap import shard_map
 
     from acmmp_tpu.parallel.sharding import VIEW_AXIS
 

@@ -28,8 +28,9 @@ from typing import List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from acmmp_tpu.parallel.shmap import shard_map
 
 from acmmp_tpu.config import PatchMatchParams
 from acmmp_tpu.engine.patchmatch import (

@@ -23,8 +23,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
+
+from acmmp_tpu.parallel.shmap import shard_map
 
 from acmmp_tpu.config import PatchMatchParams
 from acmmp_tpu.core import geometry as geo
