@@ -331,14 +331,25 @@ def fuse_views(views: Dict[int, FusionView], problems: Sequence[Problem],
     sinks = ([], [], [])
     probs = [p for p in problems
              if [s for s in p.src_image_ids if s in views]]
-    v_max = max(
-        (len([s for s in p.src_image_ids if s in views]) for p in probs),
-        default=0,
-    )
-    all_ids = {p.ref_image_id for p in probs} | {
-        s for p in probs for s in p.src_image_ids if s in views}
-    sh = max((views[i].depth.shape[0] for i in all_ids), default=1)
-    sw = max((views[i].depth.shape[1] for i in all_ids), default=1)
+    # scene-wide padded shape: needed only on the mesh path, where a group
+    # of views must stack into one shard_map program. The sequential path
+    # pads each problem to its OWN sources' max so a single large view
+    # doesn't inflate every other view's kernel (compiles cache by shape).
+    if mesh is not None:
+        v_max = max(
+            (len([s for s in p.src_image_ids if s in views]) for p in probs),
+            default=0,
+        )
+        all_ids = {p.ref_image_id for p in probs} | {
+            s for p in probs for s in p.src_image_ids if s in views}
+        sh = max((views[i].depth.shape[0] for i in all_ids), default=1)
+        sw = max((views[i].depth.shape[1] for i in all_ids), default=1)
+
+    def problem_pad(p):
+        ids = [s for s in p.src_image_ids if s in views]
+        return (len(ids),
+                max(views[i].depth.shape[0] for i in ids),
+                max(views[i].depth.shape[1] for i in ids))
 
     def run_one(arrays, cams):
         kw = {k: jnp.asarray(v) for k, v in arrays.items()}
@@ -353,9 +364,14 @@ def fuse_views(views: Dict[int, FusionView], problems: Sequence[Problem],
     group_size = 1 if mesh is None else int(mesh.devices.size)
     for g0 in range(0, len(probs), group_size):
         group = probs[g0:g0 + group_size]
-        asm = [a for a in
-               (_assemble_problem(p, views, v_max, sh, sw, prior_aware)
-                for p in group) if a is not None]
+        if mesh is None:
+            asm = [a for a in
+                   (_assemble_problem(p, views, *problem_pad(p), prior_aware)
+                    for p in group) if a is not None]
+        else:
+            asm = [a for a in
+                   (_assemble_problem(p, views, v_max, sh, sw, prior_aware)
+                    for p in group) if a is not None]
         if not asm:
             continue
         if mesh is None or len(asm) == 1:

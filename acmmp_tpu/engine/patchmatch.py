@@ -316,8 +316,13 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
         take_pv = take
         restricted_prop = jnp.where(take_r, best_r_score, r_now)
         sel_prop = jnp.where(take_r[..., None], new_selected, sel_prev)
-        buffer_planes = plane_prop
-        buffer_costs = cost_prop
+        # hierarchy fallback must be the PRE-sweep plane: the reference's
+        # propagation/refinement only update locals, and the gate skips the
+        # global write-back entirely on failure (ACMMP.cu:1163-1169) — in
+        # planar mode too. This also keeps the carried ncc_pv/geom_pv
+        # consistent with the stored plane on gate-failed pixels.
+        buffer_planes = planes_cur if mode.hierarchy else plane_prop
+        buffer_costs = cost_now if mode.hierarchy else cost_prop
 
     # carry the adopted hypothesis's per-view costs forward
     best_pv = jnp.take_along_axis(ncc8, best[None, ..., None], axis=0)[0]

@@ -181,7 +181,6 @@ def multiview_zncc_pallas(
     grid = (K, V, Hg // TILE_H, W // TILE_W)
     cost_max = params.cost_max
     min_var = params.min_var
-    n_wchunks = (Hs_p // R) // TILE_H       # packed word-row chunks
 
     def kernel(a_ref, b_ref, swh_ref, org_ref, src_ref, m_ref, w_ref, wr_ref,
                rs_ref, out_ref):

@@ -232,7 +232,7 @@ def _prior_second_solve_inputs(prep: _Prepared, out, cfg, hierarchy,
             os.path.join(rdir, "triangulation.png"))
     if prior_planes is None:
         return None
-    return build_solver_inputs(
+    inputs2 = build_solver_inputs(
         ref.image, [s.image for s in prep.srcs], ref.cam,
         [s.cam for s in prep.srcs], params, num_views_pad=prep.v_pad,
         pad_h=cfg.pad_h, pad_w=cfg.pad_w,
@@ -242,6 +242,12 @@ def _prior_second_solve_inputs(prep: _Prepared, out, cfg, hierarchy,
         pre_costs=out.pre_costs if hierarchy else None,
         src_depths=prep.src_depths,
     )
+    if prep.src_depths is None and prep.inputs.src_depths is not None:
+        # mesh/collective path: the first solve's source depths arrived via
+        # the in-program all-gather (already padded [Vp, Hs, Ws]); reuse
+        # the same device array instead of re-reading from disk
+        inputs2 = inputs2._replace(src_depths=prep.inputs.src_depths)
+    return inputs2
 
 
 def _problem_key(cfg, rid, pass_tag):
@@ -311,6 +317,7 @@ def process_batch(
     multi_geometry: bool = False,
     seeded: bool = False,
     pass_tag: int = 0,
+    depth_cache: Optional[dict] = None,
 ) -> None:
     """Batched equivalent of process_problem: many views per dispatch,
     grouped by static shape. The planar-prior second solve batches the
@@ -320,7 +327,9 @@ def process_batch(
     On a mesh, the geometric pass's source depth maps move via the
     in-program all-gather (parallel.sharding.gather_src_depths) instead of
     per-problem disk reloads — the reference's filesystem round-trip
-    (src/ACMMP.cpp:608-635) becomes one ICI collective."""
+    (src/ACMMP.cpp:608-635) becomes one ICI collective. Pass one
+    `depth_cache` dict across all batches of a geometric pass so the
+    depth bank is read and device_put once per pass."""
     params = cfg.patchmatch
     collective = solver.mesh is not None and geom_consistency
     preps = []
@@ -347,7 +356,8 @@ def process_batch(
 
     if collective:
         _attach_gathered_src_depths(
-            groups, problems, output_folder, solver.mesh, multi_geometry)
+            groups, problems, output_folder, solver.mesh, multi_geometry,
+            cache=depth_cache)
 
     for group in groups.values():
         keys = [_problem_key(cfg, pp.problem.ref_image_id, pass_tag)
@@ -382,14 +392,18 @@ def process_batch(
 
 
 def _attach_gathered_src_depths(groups, problems, output_folder, mesh,
-                                multi_geometry) -> None:
+                                multi_geometry, cache=None) -> None:
     """Attach each prepared problem's source depth maps via the mesh
     collective: every view's OWN current depth map is loaded locally (one
-    read per view — the multi-host analog: each host reads only its own
-    views' checkpoints), then one `lax.all_gather` over ICI distributes
-    them and a local gather picks each problem's sources. Falls back to
-    direct disk reads for problems whose sources are not in the view set
-    or whose shapes don't match the bank."""
+    read per view per pass — the multi-host analog: each host reads only
+    its own views' checkpoints), then one `lax.all_gather` over ICI
+    distributes them and a local gather picks each problem's sources.
+
+    `cache` (a dict owned by the caller, one per geometric pass) holds the
+    raw per-view maps and the sharded per-bucket banks so neither is
+    rebuilt across shape buckets or view batches — depth files don't
+    change within a pass. Falls back to direct disk reads for problems
+    whose sources are outside the view set."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from acmmp_tpu.parallel.sharding import VIEW_AXIS, gather_src_depths
@@ -397,8 +411,45 @@ def _attach_gathered_src_depths(groups, problems, output_folder, mesh,
     suffix = "depths_geom.dmb" if multi_geometry else "depths.dmb"
     id2idx = {p.ref_image_id: k for k, p in enumerate(problems)}
     n_mesh = mesh.devices.size
+    if cache is None:
+        cache = {}
 
-    def disk_fallback(pp):
+    def raw_map(rid):
+        key = ("raw", rid)
+        if key not in cache:
+            try:
+                cache[key] = read_dmb(os.path.join(
+                    result_dir(output_folder, rid), suffix))
+            except FileNotFoundError:
+                # a view that never solved (e.g. sourceless) can still be
+                # listed as someone's source; a zero map marks its depths
+                # invalid (sd <= 0 -> geom_cost_max, ops/geom.py)
+                cache[key] = None
+        return cache[key]
+
+    def bank_for(hs, ws):
+        # one bank of every view's own current depth map at this bucket's
+        # padded shape. A view bigger than the bucket is zeroed rather
+        # than banned: a problem's bucket shape is >= every one of its
+        # sources' true sizes (src_imgs are padded to their max), so an
+        # oversized view's slot can never be gathered by this bucket.
+        key = ("bank", hs, ws)
+        if key not in cache:
+            maps = []
+            for p in problems:
+                d = raw_map(p.ref_image_id)
+                if d is None or d.shape[0] > hs or d.shape[1] > ws:
+                    maps.append(np.zeros((hs, ws), np.float32))
+                else:
+                    maps.append(_pad_to(d, hs, ws))
+            n_pad = ((len(maps) + n_mesh - 1) // n_mesh) * n_mesh
+            maps += [np.zeros((hs, ws), np.float32)] * (n_pad - len(maps))
+            cache[key] = jax.device_put(
+                jnp.asarray(np.stack(maps)),
+                NamedSharding(mesh, P(VIEW_AXIS)))
+        return cache[key]
+
+    def disk_fallback(pp, hs, ws):
         depths = np.stack([
             _pad_to(read_dmb(os.path.join(
                 result_dir(output_folder, s), suffix)), hs, ws)
@@ -409,41 +460,16 @@ def _attach_gathered_src_depths(groups, problems, output_folder, mesh,
 
     for group in groups.values():
         hs, ws = group[0].inputs.src_imgs.shape[-2:]
-        # one bank of every view's own current depth map at this bucket's
-        # padded shape; a view bigger than the bucket can't be banked
-        bank = None
-        bankable = True
-        maps = []
-        for p in problems:
-            try:
-                d = read_dmb(os.path.join(
-                    result_dir(output_folder, p.ref_image_id), suffix))
-            except FileNotFoundError:
-                # a view that never solved (e.g. sourceless) can still be
-                # listed as someone's source; a zero map marks its depths
-                # invalid (sd <= 0 -> geom_cost_max, ops/geom.py)
-                maps.append(np.zeros((hs, ws), np.float32))
-                continue
-            if d.shape[0] > hs or d.shape[1] > ws:
-                bankable = False
-                break
-            maps.append(_pad_to(d, hs, ws))
-        if bankable:
-            n_pad = ((len(maps) + n_mesh - 1) // n_mesh) * n_mesh
-            maps += [np.zeros((hs, ws), np.float32)] * (n_pad - len(maps))
-            bank = jax.device_put(
-                jnp.asarray(np.stack(maps)),
-                NamedSharding(mesh, P(VIEW_AXIS)))
-
-        group_ok = bank is not None and all(
+        group_ok = all(
             all(s in id2idx for s in pp.problem.src_image_ids)
             for pp in group)
         if not group_ok:
             log.info("geom collective unavailable for a %dx%d group; "
                      "reading source depths from disk", hs, ws)
             for pp in group:
-                disk_fallback(pp)
+                disk_fallback(pp, hs, ws)
             continue
+        bank = bank_for(hs, ws)
 
         b = len(group)
         b_pad = ((b + n_mesh - 1) // n_mesh) * n_mesh
@@ -509,11 +535,15 @@ def run_pipeline(dense_folder: str, cfg: PipelineConfig, mesh=None) -> str:
             b = max(cfg.view_batch, 1)
             if mesh is not None:
                 b = max(b, mesh.devices.size)
+            # one depth-bank cache per pass: the bank is identical across
+            # batches (depth files don't change within a pass)
+            depth_cache: dict = {}
             for start in range(0, len(problems), b):
                 process_batch(dense_folder, output_folder, problems,
                               list(range(start, min(start + b,
                                                     len(problems)))),
-                              cfg, loader, solver, **mode_kw)
+                              cfg, loader, solver, depth_cache=depth_cache,
+                              **mode_kw)
     log.info("There are %d problems to process", len(problems))
     max_num_downscale = compute_multiscale_settings(
         dense_folder, problems, cfg.patchmatch, cfg.image_dir)

@@ -68,3 +68,48 @@ def test_geometric_pass_refines():
     assert np.median(err_g) <= np.median(err_0) * 1.5
     assert np.median(err_g) < 0.15
     assert (err_g < 0.5).mean() > 0.85
+
+
+def test_carried_pv_consistent_hierarchy_planar():
+    """The carried per-view NCC cache (state.ncc_pv) must stay bitwise
+    consistent with the stored plane field through hierarchy+planar_prior
+    sweeps — including pixels where propagation adopted a candidate but
+    the hierarchy acceptance gate rejected it (the gate fallback must
+    restore the PRE-sweep plane AND its pv, ACMMP.cu:1163-1169)."""
+    from acmmp_tpu.engine.patchmatch import init_state, sweep_once
+    from acmmp_tpu.engine.priors import build_planar_prior
+    from acmmp_tpu.ops import ncc as ncc_ops
+
+    images, cams, _ = textured_plane_scene(n_views=3, width=64, height=48)
+    out, inp = _solve(images, cams)
+    h, w = images[0].shape
+    dmin = float(cams[0].depth_min * PARAMS.depth_min_relax)
+    dmax = float(cams[0].depth_max * PARAMS.depth_max_relax)
+    prior_planes, prior_mask = build_planar_prior(
+        cams[0], out.depth[:h, :w], out.cost[:h, :w], dmin, dmax, w, h)
+    assert prior_planes is not None, "fixture must produce support points"
+
+    # gate pre-costs that both pass (left half: slack) and fail (right
+    # half: already at the converged cost, margin pushes the gate shut)
+    pre = out.cost.copy()
+    pre[:, : w // 2] += 1.0
+
+    inp2 = build_solver_inputs(
+        images[0], images[1:], cams[0], cams[1:], PARAMS, pad_h=1, pad_w=1,
+        init_depth=out.depth, init_normal_world=out.normal_world,
+        init_cost=out.cost, prior_planes=prior_planes, prior_mask=prior_mask,
+        pre_costs=pre)
+    mode2 = Mode(hierarchy=True, planar_prior=True)
+    key = jax.random.key(11)
+    state = init_state(inp2, key, PARAMS, mode2)
+    for s in range(4):
+        state = sweep_once(state, inp2, s, jax.random.fold_in(key, s),
+                           PARAMS, mode2)
+
+    vg = ncc_ops.make_view_geometry(inp2.ref_cam, inp2.src_cams)
+    recomputed = ncc_ops.multiview_zncc(
+        inp2.ref_img, inp2.src_imgs, vg, state.planes[None], PARAMS,
+        n_views=jnp.sum(inp2.view_mask))[0]
+    got = np.asarray(state.ncc_pv)
+    want = np.asarray(recomputed)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
