@@ -161,6 +161,18 @@ def main(argv=None):
 
     args = parser.parse_args(argv)
 
+    # friendly dense-folder validation (the reference segfault-exits on a
+    # missing folder; we fail with a clear message before any compile)
+    if args.cmd in ("reconstruct", "fuse"):
+        dense = args.dense_folder
+        if not os.path.isdir(dense):
+            parser.error(f"dense folder not found: {dense}")
+        if not os.path.exists(os.path.join(dense, "pair.txt")):
+            parser.error(
+                f"{dense} is not a dense folder (missing pair.txt — "
+                "expected the images/ cams/ pair.txt contract; see "
+                "convert-colmap / make-synthetic)")
+
     if args.cmd == "reconstruct":
         from acmmp_tpu.pipeline.scheduler import run_pipeline
 

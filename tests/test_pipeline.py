@@ -118,3 +118,18 @@ def test_full_pipeline_batched_mesh(tmp_path):
         assert abs(np.median(dm[itr]) - np.median(ds[itr])) < 0.1, i
         assert close.mean() > 0.5, (i, close.mean())
     assert np.mean(fracs) > 0.7, fracs
+
+
+def test_cli_friendly_error_on_missing_folder(tmp_path):
+    """reconstruct/fuse on a missing or non-dense folder must exit with a
+    clear argparse error (exit code 2), not a raw traceback."""
+    from acmmp_tpu.cli import main
+
+    for cmd in ("reconstruct", "fuse"):
+        with pytest.raises(SystemExit) as e:
+            main([cmd, str(tmp_path / "nope")])
+        assert e.value.code == 2
+    # exists but is not a dense folder (no pair.txt)
+    with pytest.raises(SystemExit) as e:
+        main(["reconstruct", str(tmp_path)])
+    assert e.value.code == 2
