@@ -282,3 +282,45 @@ def test_fusion_mixed_resolution_padding_neutral():
     shd = fuse_views(make_views(), problems, fp, mesh=make_view_mesh())
     np.testing.assert_array_equal(np.asarray(seq[0]), np.asarray(shd[0]))
     np.testing.assert_array_equal(np.asarray(seq[1]), np.asarray(shd[1]))
+
+
+def test_sharded_prior_aware_fusion_matches_sequential():
+    """Dual-candidate (prior-aware) fusion through the group-sharded path
+    must equal the sequential path exactly (RunPriorAwareFusion,
+    acmmp_definitions.cpp:573-826, candidate axis of 2)."""
+    from acmmp_tpu.config import FusionParams
+    from acmmp_tpu.engine.fusion import FusionView, fuse_views
+    from acmmp_tpu.io.dense_folder import Problem
+    from acmmp_tpu.utils.synth import textured_plane_scene
+
+    n_views = 4
+    images, cams, plane_z = textured_plane_scene(
+        n_views=n_views, width=64, height=48)
+    fp = FusionParams(num_consistent_thresh=2)
+
+    def make_views():
+        views = {}
+        for i in range(n_views):
+            depth = np.full((48, 64), plane_z, np.float32)
+            normal = np.zeros((48, 64, 3), np.float32)
+            normal[..., 2] = -1.0
+            # second candidate: consistent only in the left half
+            depth1 = depth.copy()
+            depth1[:, 32:] += 3.0
+            img = np.stack([images[i]] * 3, axis=-1).astype(np.float32)
+            views[i] = FusionView(img, cams[i], depth, normal,
+                                  depth1=depth1, normal1=normal.copy())
+        return views
+
+    problems = [Problem(ref_image_id=i,
+                        src_image_ids=[j for j in range(n_views) if j != i])
+                for i in range(n_views)]
+
+    seq = fuse_views(make_views(), problems, fp, prior_aware=True,
+                     single_match_penalty=1)
+    assert len(seq[0]) > 0
+    assert np.median(np.abs(seq[0][:, 2] - plane_z)) < 0.1
+    shd = fuse_views(make_views(), problems, fp, prior_aware=True,
+                     single_match_penalty=1, mesh=make_view_mesh())
+    np.testing.assert_array_equal(np.asarray(seq[0]), np.asarray(shd[0]))
+    np.testing.assert_array_equal(np.asarray(seq[1]), np.asarray(shd[1]))
