@@ -36,6 +36,9 @@ def _add_common_fusion_flags(p: argparse.ArgumentParser):
                    help="directory of boolean masks (0, 255)")
     p.add_argument("--image_override", default="images",
                    help="alternative image directory for fusion colors")
+    p.add_argument("--fusion_view_cache", type=int, default=0,
+                   help="keep at most N views' arrays resident during "
+                        "fusion (lazy LRU loading); 0 = load all up front")
 
 
 def _cfg_from_args(args, prior: bool) -> PipelineConfig:
@@ -49,6 +52,7 @@ def _cfg_from_args(args, prior: bool) -> PipelineConfig:
         force_fusion=args.force_fusion,
         seed=getattr(args, "seed", 0),
         debug_images=getattr(args, "debug_images", False),
+        fusion_view_cache=getattr(args, "fusion_view_cache", 0),
         patchmatch=PatchMatchParams(
             max_image_size=getattr(args, "max_image_size", 3200),
         ),
@@ -204,13 +208,14 @@ def main(argv=None):
                 os.path.join(args.dense_folder, cfg.fusion_dir), problems,
                 geom_consistency=args.geom, fp=cfg.fusion,
                 single_match_penalty=cfg.fusion.single_match_penalty,
-                mask_dir=cfg.mask_dir,
+                mask_dir=cfg.mask_dir, view_cache=cfg.fusion_view_cache,
             )
         else:
             ply = run_fusion(
                 args.dense_folder, out_folder, problems,
                 geom_consistency=args.geom, fp=cfg.fusion,
                 image_dir=cfg.image_dir, mask_dir=cfg.mask_dir,
+                view_cache=cfg.fusion_view_cache,
             )
         print(ply)
     elif args.cmd == "convert-colmap":

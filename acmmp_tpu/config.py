@@ -153,3 +153,8 @@ class PipelineConfig:
     # (acmmp_definitions.cpp:1035-1038) and triangulation.png from the
     # planar-prior triangulation (:329)
     debug_images: bool = False
+    # fusion host-memory bound: keep at most this many views' heavy arrays
+    # (image/depth/normal) resident during fusion, loading lazily with LRU
+    # eviction; 0 = load all views up front (the reference's behavior,
+    # acmmp_definitions.cpp:852-914 — ~150 MB/view at DTU full resolution)
+    fusion_view_cache: int = 0

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Mapping, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -546,20 +546,70 @@ def _fuse_group_sharded(mesh, asm, prior_aware, single_match_penalty, fp):
     return out
 
 
+class LazyFusionViews(Mapping):
+    """Memory-bounded fusion view set: loads each view's heavy arrays
+    (image/depth/normal) on demand and keeps at most `max_cached` views
+    resident (LRU), while the greedy-consumption masks are pinned for the
+    whole fusion — evict/reload preserves the exact sequential mask state
+    (checkpoint arrays on disk are immutable during fusion; only masks
+    mutate). The reference loads every view up front
+    (acmmp_definitions.cpp:852-914): ~150 MB/view at DTU full resolution,
+    ~9 GB host for a 64-view scan — this keeps fusion O(cache) instead."""
+
+    def __init__(self, ids, load_one, max_cached: int):
+        from collections import OrderedDict
+
+        self._ids = list(ids)
+        self._idset = set(ids)
+        self._load_one = load_one
+        # a problem touches itself + its sources each step; anything
+        # smaller than 2 would thrash within a single assembly
+        self._cap = max(int(max_cached), 2)
+        self._masks: Dict[int, np.ndarray] = {}
+        self._cache = OrderedDict()
+
+    def __getitem__(self, i):
+        if i not in self._idset:
+            raise KeyError(i)
+        fv = self._cache.get(i)
+        if fv is None:
+            fv = self._load_one(i)
+            # pin the mask: first load donates its (mask_dir-initialized)
+            # mask; reloads adopt the accumulated one
+            fv.mask = self._masks.setdefault(i, fv.mask)
+            self._cache[i] = fv
+            while len(self._cache) > self._cap:
+                self._cache.popitem(last=False)
+        else:
+            self._cache.move_to_end(i)
+        return fv
+
+    def __iter__(self):
+        return iter(self._ids)
+
+    def __len__(self):
+        return len(self._ids)
+
+    def __contains__(self, i):
+        return i in self._idset
+
+
 def load_fusion_views(dense_folder: str, out_folder: str,
                       problems: Sequence[Problem], geom_consistency: bool,
                       image_dir: str = "images",
                       mask_dir: Optional[str] = None,
-                      second_folder: Optional[str] = None) -> Dict[int, FusionView]:
+                      second_folder: Optional[str] = None,
+                      max_cached: int = 0) -> Mapping:
     """Load depth/normal checkpoints + images for fusion (RunFusion's loader,
     acmmp_definitions.cpp:852-914). If `second_folder` is given, also load
-    the dual-hypothesis recon from it (prior-aware fusion)."""
+    the dual-hypothesis recon from it (prior-aware fusion). With
+    `max_cached > 0`, views are loaded lazily with an LRU cap instead of
+    all up front (LazyFusionViews)."""
     from PIL import Image as PILImage
 
-    views: Dict[int, FusionView] = {}
     suffix = "depths_geom.dmb" if geom_consistency else "depths.dmb"
-    for prob in problems:
-        i = prob.ref_image_id
+
+    def load_one(i: int) -> FusionView:
         rdir = result_dir(out_folder, i)
         depth = read_dmb(os.path.join(rdir, suffix))
         normal = read_dmb(os.path.join(rdir, "normals.dmb"))
@@ -577,18 +627,24 @@ def load_fusion_views(dense_folder: str, out_folder: str,
             rdir1 = result_dir(second_folder, i)
             d1 = read_dmb(os.path.join(rdir1, suffix))
             n1 = read_dmb(os.path.join(rdir1, "normals.dmb"))
-        views[i] = FusionView(img, cam, depth, normal, mask=mask,
-                              depth1=d1, normal1=n1)
-    return views
+        return FusionView(img, cam, depth, normal, mask=mask,
+                          depth1=d1, normal1=n1)
+
+    ids = [p.ref_image_id for p in problems]
+    if max_cached > 0:
+        return LazyFusionViews(ids, load_one, max_cached)
+    return {i: load_one(i) for i in ids}
 
 
 def run_fusion(dense_folder: str, out_folder: str, problems: Sequence[Problem],
                geom_consistency: bool, fp: FusionParams,
                image_dir: str = "images", mask_dir: Optional[str] = None,
                ply_name: str = "ACMMP_model.ply", progress=None,
-               mesh=None, debug_dir: Optional[str] = None) -> str:
+               mesh=None, debug_dir: Optional[str] = None,
+               view_cache: int = 0) -> str:
     views = load_fusion_views(dense_folder, out_folder, problems,
-                              geom_consistency, image_dir, mask_dir)
+                              geom_consistency, image_dir, mask_dir,
+                              max_cached=view_cache)
     pts, nrm, col = fuse_views(views, problems, fp, progress=progress,
                                mesh=mesh, debug_dir=debug_dir)
     ply_path = os.path.join(out_folder, ply_name)
@@ -603,12 +659,14 @@ def run_prior_aware_fusion(dense_folder: str, out_folder: str,
                            mask_dir: Optional[str] = None,
                            ply_name: str = "ACMMP_prior_model.ply",
                            progress=None, mesh=None,
-                           debug_dir: Optional[str] = None) -> str:
+                           debug_dir: Optional[str] = None,
+                           view_cache: int = 0) -> str:
     """Dual-hypothesis fusion: candidate 0 from `fusion_folder`, candidate 1
     from `out_folder` (RunPriorAwareFusion, acmmp_definitions.cpp:573-826)."""
     views = load_fusion_views(dense_folder, fusion_folder, problems,
                               geom_consistency, mask_dir=mask_dir,
-                              second_folder=out_folder)
+                              second_folder=out_folder,
+                              max_cached=view_cache)
     pts, nrm, col = fuse_views(views, problems, fp, prior_aware=True,
                                single_match_penalty=single_match_penalty,
                                progress=progress, mesh=mesh,

@@ -93,16 +93,26 @@ class ViewLoader:
             img = load_image_gray(image_path(self.dense, image_id, self.image_dir))
             cam = read_cam_txt(cam_path(self.dense, image_id))
             cam.width, cam.height = img.shape[1], img.shape[0]
-            self._raw[image_id] = _ViewData(img, cam)
+            # store u8 (lossless: load_image_gray yields exact u8 values) —
+            # 4x less host memory; DTU-scale scenes keep ~64 full-res views
+            # in this cache for the whole run
+            self._raw[image_id] = _ViewData(img.astype(np.uint8), cam)
         return self._raw[image_id]
 
     def at_size(self, image_id: int, max_size: int) -> _ViewData:
         key = (image_id, max_size)
         if key not in self._scaled:
             raw = self.raw(image_id)
-            img, cam = rescale_to_max_size(raw.image, raw.cam, max_size)
+            img, cam = rescale_to_max_size(
+                raw.image.astype(np.float32), raw.cam, max_size)
             self._scaled[key] = _ViewData(img, cam)
         return self._scaled[key]
+
+    def new_scale(self) -> None:
+        """Drop the per-scale f32 cache: a finished scale's sizes are never
+        requested again (the schedule is strictly coarse->fine), and at
+        3200-px resolutions the f32 rescaled copies dominate host memory."""
+        self._scaled.clear()
 
 
 def _write_outputs(rdir: str, out: SolverOutputs, h: int, w: int,
@@ -565,6 +575,7 @@ def run_pipeline(dense_folder: str, cfg: PipelineConfig, mesh=None) -> str:
     scale = max_num_downscale
     while scale >= 0:
         log.info("Scale: %d", scale)
+        loader.new_scale()
         for p in problems:
             if p.num_downscale >= 0:
                 p.cur_image_size = p.max_image_size // (2 ** p.num_downscale)
@@ -614,13 +625,14 @@ def run_pipeline(dense_folder: str, cfg: PipelineConfig, mesh=None) -> str:
                 geom_consistency=True, fp=cfg.fusion,
                 single_match_penalty=cfg.fusion.single_match_penalty,
                 mask_dir=cfg.mask_dir, progress=fusion_progress, mesh=mesh,
-                debug_dir=debug_dir,
+                debug_dir=debug_dir, view_cache=cfg.fusion_view_cache,
             )
         else:
             ply = run_fusion(
                 dense_folder, output_folder, problems, geom_consistency=True,
                 fp=cfg.fusion, image_dir=cfg.image_dir, mask_dir=cfg.mask_dir,
                 progress=fusion_progress, mesh=mesh, debug_dir=debug_dir,
+                view_cache=cfg.fusion_view_cache,
             )
     if fusion_counts:
         total = sum(fusion_counts.values())

@@ -133,3 +133,43 @@ def test_cli_friendly_error_on_missing_folder(tmp_path):
     with pytest.raises(SystemExit) as e:
         main(["reconstruct", str(tmp_path)])
     assert e.value.code == 2
+
+
+@pytest.mark.slow
+def test_lazy_fusion_view_cache_matches_eager(tmp_path):
+    """Fusion with a 2-view LRU cache (heavy arrays evicted and reloaded
+    mid-run) must produce the identical cloud to the load-everything path:
+    the greedy consumption masks are pinned across eviction."""
+    import jax
+
+    from acmmp_tpu.engine.fusion import run_fusion
+    from acmmp_tpu.io import write_dmb
+    from acmmp_tpu.io.dense_folder import result_dir
+    from acmmp_tpu.pipeline.scheduler import generate_sample_list
+
+    images, cams, plane_z = textured_plane_scene(n_views=4, width=64,
+                                                 height=48)
+    dense = write_dense_folder(tmp_path, images, cams)
+    out_folder = os.path.join(dense, "ACMMP")
+    for i in range(4):
+        rdir = result_dir(out_folder, i)
+        os.makedirs(rdir, exist_ok=True)
+        depth = np.full((48, 64), plane_z, np.float32)
+        normal = np.zeros((48, 64, 3), np.float32)
+        normal[..., 2] = -1.0
+        write_dmb(os.path.join(rdir, "depths.dmb"), depth)
+        write_dmb(os.path.join(rdir, "normals.dmb"), normal)
+
+    from acmmp_tpu.config import FusionParams
+    fp = FusionParams(num_consistent_thresh=2)
+    problems = generate_sample_list(dense)
+    p_eager = run_fusion(dense, out_folder, problems, geom_consistency=False,
+                         fp=fp, ply_name="eager.ply")
+    p_lazy = run_fusion(dense, out_folder, problems, geom_consistency=False,
+                        fp=fp, ply_name="lazy.ply", view_cache=2)
+    e_pts, e_nrm, e_col = read_ply(p_eager)
+    l_pts, l_nrm, l_col = read_ply(p_lazy)
+    assert len(e_pts) > 0
+    np.testing.assert_array_equal(e_pts, l_pts)
+    np.testing.assert_array_equal(e_nrm, l_nrm)
+    np.testing.assert_array_equal(e_col, l_col)
