@@ -136,6 +136,50 @@ def test_cli_friendly_error_on_missing_folder(tmp_path):
 
 
 @pytest.mark.slow
+def test_lazy_prior_aware_fusion_matches_eager(tmp_path):
+    """Dual-candidate fusion (two checkpoint folders per view) through the
+    LRU view cache must match the load-everything path byte-for-byte."""
+    from acmmp_tpu.config import FusionParams
+    from acmmp_tpu.engine.fusion import run_prior_aware_fusion
+    from acmmp_tpu.io import write_dmb
+    from acmmp_tpu.io.dense_folder import result_dir
+    from acmmp_tpu.pipeline.scheduler import generate_sample_list
+
+    images, cams, plane_z = textured_plane_scene(n_views=4, width=64,
+                                                 height=48)
+    dense = write_dense_folder(tmp_path, images, cams)
+    fusion_folder = os.path.join(dense, "ACMMP_fusion")
+    out_folder = os.path.join(dense, "ACMMP")
+    for i in range(4):
+        depth = np.full((48, 64), plane_z, np.float32)
+        normal = np.zeros((48, 64, 3), np.float32)
+        normal[..., 2] = -1.0
+        depth1 = depth.copy()
+        depth1[:, 32:] += 3.0  # candidate 1 consistent only on the left
+        for folder, d, n in ((fusion_folder, depth, normal),
+                             (out_folder, depth1, normal)):
+            rdir = result_dir(folder, i)
+            os.makedirs(rdir, exist_ok=True)
+            write_dmb(os.path.join(rdir, "depths.dmb"), d)
+            write_dmb(os.path.join(rdir, "normals.dmb"), n)
+
+    fp = FusionParams(num_consistent_thresh=2)
+    problems = generate_sample_list(dense)
+    kw = dict(geom_consistency=False, fp=fp, single_match_penalty=1)
+    p_eager = run_prior_aware_fusion(dense, out_folder, fusion_folder,
+                                     problems, ply_name="eager.ply", **kw)
+    p_lazy = run_prior_aware_fusion(dense, out_folder, fusion_folder,
+                                    problems, ply_name="lazy.ply",
+                                    view_cache=2, **kw)
+    e_pts, e_nrm, e_col = read_ply(p_eager)
+    l_pts, l_nrm, l_col = read_ply(p_lazy)
+    assert len(e_pts) > 0
+    np.testing.assert_array_equal(e_pts, l_pts)
+    np.testing.assert_array_equal(e_nrm, l_nrm)
+    np.testing.assert_array_equal(e_col, l_col)
+
+
+@pytest.mark.slow
 def test_lazy_fusion_view_cache_matches_eager(tmp_path):
     """Fusion with a 2-view LRU cache (heavy arrays evicted and reloaded
     mid-run) must produce the identical cloud to the load-everything path:
