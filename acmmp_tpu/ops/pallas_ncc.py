@@ -55,6 +55,9 @@ from acmmp_tpu.ops import ncc as ncc_ops
 TILE_H = 8
 TILE_W = 128
 VMEM_RESIDENT_BYTES = 6 * 1024 * 1024
+# two-phase row layout is dropped above this per-view block size (VMEM is
+# ~16 MB/core and the one-view-resident path double-buffers the block)
+TWO_PHASE_MAX_BYTES = 6 * 1024 * 1024
 
 
 def _round_up(v: int, m: int) -> int:
@@ -144,7 +147,26 @@ def multiview_zncc_pallas(
                            mode="edge")
     src_dev = (_pack_rows_u8(src_imgs) if src_u8
                else _pack_rows_bf16(src_imgs))     # [V, Hs_p//R, Ws_p] i32
-    all_resident = V * (Hs_p // R) * Ws_p * 4 <= VMEM_RESIDENT_BYTES
+    # Two phase-shifted copies, concatenated on the word-row axis: copy 1
+    # is copy 0 advanced by PHASE=4 word-rows (tail padded with edge words
+    # — never matched: their real rows are >= Hs_p, so the in-word row
+    # weights zero them). Mosaic requires 8-aligned sublane slices, so
+    # scan chunks are 8-word-aligned *within a copy*; picking the copy
+    # whose alignment straddles the tap's span least makes the coherent
+    # case (~5-6 word-row span) fit ONE chunk where a single copy needs
+    # two half the time. Costs 2x source VMEM (u8 packing already saved
+    # 4x), so it is gated: a view block must stay well under VMEM
+    # (~16 MB/core) with double-buffering.
+    PHASE = TILE_H // 2
+    view_bytes = (Hs_p // R) * Ws_p * 4
+    two_phase = 2 * view_bytes <= TWO_PHASE_MAX_BYTES
+    if two_phase:
+        src_dev = jnp.concatenate(
+            [src_dev, jnp.concatenate(
+                [src_dev[:, PHASE:], src_dev[:, -1:].repeat(PHASE, axis=1)],
+                axis=1)], axis=1)                  # [V, 2*n_words, Ws_p]
+    n_phase = 2 if two_phase else 1
+    all_resident = V * n_phase * view_bytes <= VMEM_RESIDENT_BYTES
 
     taps = ncc_ops.tap_weights_spatial(params)
     T = len(taps)
@@ -269,10 +291,24 @@ def multiview_zncc_pallas(
                 # of (TILE_H words = 8*R real rows, TILE_W lanes). Chunked
                 # scanning (8 words per loop iteration, unrolled select)
                 # beats per-row loops: Mosaic's while-loop overhead
-                # dominates small bodies.
-                rb_lo = yi_min // (TILE_H * R)
-                rb_hi = jnp.minimum(yi_max + 1, Hs_p - 1) // (TILE_H * R)
-                n_rb = rb_hi + 1 - rb_lo
+                # dominates small bodies. Chunks are 8-word-aligned within
+                # the phase copy whose alignment wastes least: phase
+                # off=PHASE is legal only when w_lo >= PHASE, which the
+                # (w_lo % 8) >= PHASE selector guarantees, and it always
+                # leaves the start offset-in-chunk < PHASE — so a coherent
+                # tap span (<= 4 word-rows + straddle) fits one chunk.
+                n_words = Hs_p // R          # static, multiple of TILE_H
+                w_lo = yi_min // R
+                w_hi = jnp.minimum(yi_max + 1, Hs_p - 1) // R
+                if two_phase:
+                    use_b = (w_lo % TILE_H) >= PHASE
+                    off = jnp.where(use_b, PHASE, 0)
+                    ph_mem = jnp.where(use_b, n_words, 0)
+                else:
+                    off = 0
+                    ph_mem = 0
+                c_lo = (w_lo - off) // TILE_H
+                n_rb = (w_hi - off) // TILE_H + 1 - c_lo
                 col_lo = jnp.min(xi) // TILE_W
                 # xi+1 can spill into the next column chunk; clamp to the
                 # last real chunk (the spilled corner has fx == 0 there)
@@ -282,38 +318,70 @@ def multiview_zncc_pallas(
 
                 one_m_fy = 1.0 - fy
 
+                # column chunks are visited in PAIRS: the gathered words
+                # from the two chunks are merged per lane first (each
+                # lane's x lives in exactly one chunk), so the ~28-vop
+                # byte-extraction block below runs once per pair instead
+                # of once per chunk — for the coherent x-span (~130 lanes
+                # -> 2 chunks) that is once per tap per word-row.
+                n_cp = (n_cols + 1) // 2
+                last_col = Ws_p // TILE_W - 1
+
                 def scan_body(i, carry):
                     acc = carry
-                    r0w = (rb_lo + i // n_cols) * TILE_H   # word-row base
-                    c0 = (col_lo + i % n_cols) * TILE_W
+                    cw = (c_lo + i // n_cp) * TILE_H    # word base, in-copy
+                    r0w = ph_mem + cw                   # memory word row
+                    ca = col_lo + 2 * (i % n_cp)
+                    has_b = ca < col_hi                 # 2nd member exists
+                    cb = jnp.minimum(ca + 1, last_col)
+                    c0a = ca * TILE_W
+                    c0b = cb * TILE_W
                     if all_resident:
-                        chunk = src_ref[v, pl.ds(r0w, TILE_H),
-                                        pl.ds(c0, TILE_W)]
+                        chA = src_ref[v, pl.ds(r0w, TILE_H),
+                                      pl.ds(c0a, TILE_W)]
+                        chB = src_ref[v, pl.ds(r0w, TILE_H),
+                                      pl.ds(c0b, TILE_W)]
                     else:
-                        chunk = src_ref[0, pl.ds(r0w, TILE_H),
-                                        pl.ds(c0, TILE_W)]
-                    xl = xi - c0
-                    xl1 = xl + 1
-                    # fold the column bilinear weights with the in-chunk
-                    # masks: lanes outside this chunk contribute 0, and
-                    # contributions accumulate across chunks (x0/x1 can
-                    # straddle a boundary)
-                    a0 = jnp.where((xl >= 0) & (xl < TILE_W), 1.0 - fx, 0.0)
-                    a1 = jnp.where((xl1 >= 0) & (xl1 < TILE_W), fx, 0.0)
-                    xc0 = jnp.clip(xl, 0, TILE_W - 1)
-                    xc1 = jnp.clip(xl1, 0, TILE_W - 1)
+                        chA = src_ref[0, pl.ds(r0w, TILE_H),
+                                      pl.ds(c0a, TILE_W)]
+                        chB = src_ref[0, pl.ds(r0w, TILE_H),
+                                      pl.ds(c0b, TILE_W)]
+                    xlA = xi - c0a
+                    xlB = xi - c0b
+                    xl1A = xlA + 1
+                    xl1B = xlB + 1
+                    in0B = (xlB >= 0) & (xlB < TILE_W) & has_b
+                    in1B = (xl1B >= 0) & (xl1B < TILE_W) & has_b
+                    # fold the column bilinear weights with the in-pair
+                    # masks: lanes outside both chunks contribute 0, and
+                    # contributions accumulate across pairs (x0/x1 can
+                    # straddle a pair boundary)
+                    a0 = jnp.where(((xlA >= 0) & (xlA < TILE_W)) | in0B,
+                                   1.0 - fx, 0.0)
+                    a1 = jnp.where(((xl1A >= 0) & (xl1A < TILE_W)) | in1B,
+                                   fx, 0.0)
+                    xc0A = jnp.clip(xlA, 0, TILE_W - 1)
+                    xc1A = jnp.clip(xl1A, 0, TILE_W - 1)
+                    xc0B = jnp.clip(xlB, 0, TILE_W - 1)
+                    xc1B = jnp.clip(xl1B, 0, TILE_W - 1)
                     def row_contrib(pr, a):
-                        roww = jnp.broadcast_to(chunk[pr:pr + 1, :],
+                        rowA = jnp.broadcast_to(chA[pr:pr + 1, :],
                                                 (TILE_H, TILE_W))
-                        g0 = jnp.take_along_axis(roww, xc0, axis=1)
-                        g1 = jnp.take_along_axis(roww, xc1, axis=1)
+                        rowB = jnp.broadcast_to(chB[pr:pr + 1, :],
+                                                (TILE_H, TILE_W))
+                        g0 = jnp.where(
+                            in0B, jnp.take_along_axis(rowB, xc0B, axis=1),
+                            jnp.take_along_axis(rowA, xc0A, axis=1))
+                        g1 = jnp.where(
+                            in1B, jnp.take_along_axis(rowB, xc1B, axis=1),
+                            jnp.take_along_axis(rowA, xc1A, axis=1))
                         # rows yi (weight 1-fy) and yi+1 (weight fy) are
                         # extracted from the R-row word by per-lane dynamic
                         # shifts; out-of-word rows get weight 0 and are
                         # picked up by the word that holds them. sy is
                         # clipped so the bottom edge (yi == Hs_p-1, fy == 0)
                         # gets full weight.
-                        rw = (r0w + pr) * R
+                        rw = (off + cw + pr) * R
                         k0 = yi - rw
                         k1 = k0 + 1
                         # shift amount: (k & (R-1)) * bw is cheaper than a
@@ -353,7 +421,7 @@ def multiview_zncc_pallas(
                     return acc
 
                 zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-                val = jax.lax.fori_loop(0, n_rb * n_cols, scan_body, zero)
+                val = jax.lax.fori_loop(0, n_rb * n_cp, scan_body, zero)
 
                 wt = w_ref[0, t]
                 sum_src = sum_src + wt * val
@@ -380,13 +448,15 @@ def multiview_zncc_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),   # B [V,3]
             pl.BlockSpec(memory_space=pltpu.SMEM),   # swh [V,2]
             pl.BlockSpec(memory_space=pltpu.SMEM),   # origin/off/nv [4]
-            (pl.BlockSpec((V, Hs_p // R, Ws_p), lambda k, v, i, j: (0, 0, 0),
+            (pl.BlockSpec((V, n_phase * (Hs_p // R), Ws_p),
+                          lambda k, v, i, j: (0, 0, 0),
                           memory_space=pltpu.VMEM)
              if all_resident else
              # one packed source view resident at a time (v changes every
-             # HT*WT grid steps); a DTU full-res u8 view is ~1.9 MB so it
-             # fits in VMEM with double-buffering
-             pl.BlockSpec((1, Hs_p // R, Ws_p), lambda k, v, i, j: (v, 0, 0),
+             # HT*WT grid steps); a DTU full-res u8 view is ~3.8 MB
+             # two-phase so it fits in VMEM with double-buffering
+             pl.BlockSpec((1, n_phase * (Hs_p // R), Ws_p),
+                          lambda k, v, i, j: (v, 0, 0),
                           memory_space=pltpu.VMEM)),  # src block
             pl.BlockSpec((1, 4, TILE_H, TILE_W),
                          lambda k, v, i, j: (k, 0, i, j),

@@ -102,6 +102,28 @@ def test_one_view_resident_layout(monkeypatch):
     np.testing.assert_array_equal(np.asarray(all_res), np.asarray(one_view))
 
 
+def test_single_phase_fallback_matches_two_phase(monkeypatch):
+    """Oversized sources drop the two-phase row layout (VMEM gate); the
+    single-phase path must produce identical costs — forced by zeroing the
+    two-phase budget."""
+    from acmmp_tpu.ops import pallas_ncc
+
+    inputs, vg, x, y, _ = _setup()
+    k1, k2 = jax.random.split(jax.random.key(11))
+    planes = jnp.stack([
+        samp_ops.random_plane(k1, inputs.ref_cam, x, y,
+                              inputs.depth_min, inputs.depth_max),
+        samp_ops.random_plane(k2, inputs.ref_cam, x, y,
+                              inputs.depth_min, inputs.depth_max)])
+    with pltpu.force_tpu_interpret_mode():
+        two = multiview_zncc_pallas(
+            inputs.ref_img, inputs.src_imgs, vg, planes, PARAMS)
+        monkeypatch.setattr(pallas_ncc, "TWO_PHASE_MAX_BYTES", 0)
+        one = multiview_zncc_pallas(
+            inputs.ref_img, inputs.src_imgs, vg, planes, PARAMS)
+    np.testing.assert_array_equal(np.asarray(two), np.asarray(one))
+
+
 def test_packed_matches_full():
     """Parity row-packed evaluation (kernel + oracle) must equal the packed
     rows of the full-grid result."""
