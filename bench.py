@@ -50,6 +50,36 @@ def _inputs(width, height, params):
                                params)
 
 
+def _device_watchdog(timeout_s: float = 300.0):
+    """Fail fast (with a diagnosable message) when the axon tunnel is down:
+    jax.devices() then blocks forever inside backend init with no error.
+    The watchdog fires only if the flag file isn't touched in time."""
+    import os
+    import threading
+
+    state = {"ok": False}
+
+    def _fire():
+        if not state["ok"]:
+            print(json.dumps({
+                "metric": "patchmatch_320x240_v4_depth_maps_per_s",
+                "error": f"TPU device acquisition exceeded {timeout_s:.0f}s "
+                         "— axon tunnel down? (jax.devices() hangs with no "
+                         "error when the tunnel is unreachable)",
+            }), flush=True)
+            os._exit(3)
+
+    t = threading.Timer(timeout_s, _fire)
+    t.daemon = True
+    t.start()
+
+    def _disarm():
+        state["ok"] = True
+        t.cancel()
+
+    return _disarm
+
+
 def main():
     import os
 
@@ -60,6 +90,10 @@ def main():
                          ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    disarm = _device_watchdog()
+    jax.devices()
+    disarm()
 
     from acmmp_tpu.config import PatchMatchParams
     from acmmp_tpu.engine.patchmatch import (
