@@ -248,11 +248,16 @@ def _assemble_problem(prob, views, v_max, sh, sw, prior_aware):
     if not src_ids:
         return None
     pad_ids = src_ids + [src_ids[0]] * (v_max - len(src_ids))
+    # fetch each view object ONCE (the multiple stack passes below would
+    # otherwise cyclically thrash a LazyFusionViews LRU smaller than the
+    # problem's view set); local strong refs bound peak memory at exactly
+    # this problem's working set
+    held = {s: views[s] for s in src_ids}
 
     def stack(get, fill=0.0):
         out = []
         for s in pad_ids:
-            a = get(views[s])
+            a = get(held[s])
             pad = [(0, sh - a.shape[0]), (0, sw - a.shape[1])]
             if a.ndim == 3:
                 pad.append((0, 0))
@@ -282,7 +287,7 @@ def _assemble_problem(prob, views, v_max, sh, sw, prior_aware):
         )
     cams = dict(ref_cam=rv.cam.to_jax(),
                 src_cams=geo.stack_cameras(
-                    [views[s].cam.to_jax() for s in pad_ids]))
+                    [held[s].cam.to_jax() for s in pad_ids]))
     return i, rv, src_ids, arrays, cams
 
 
@@ -301,9 +306,12 @@ def _collect_accepted(i, rv, src_ids, views, accept, Xw, normal, consumed,
     pts_out.append(Xw[accept])
     nrm_out.append(normal[accept])
     col_out.append(rv.image[accept])
+    mask_of = getattr(views, "mask_of", None)
     for j, s in enumerate(src_ids):
-        hh, ww = views[s].mask.shape
-        views[s].mask |= consumed[j][:hh, :ww]
+        # LazyFusionViews holds the pinned masks directly — don't reload a
+        # whole evicted view's arrays just to OR its consumption mask
+        m = mask_of(s) if mask_of is not None else views[s].mask
+        m |= consumed[j][:m.shape[0], :m.shape[1]]
     if progress is not None:
         progress(i, int(np.sum(accept)))
     if debug_dir is not None:
@@ -583,6 +591,15 @@ class LazyFusionViews(Mapping):
         else:
             self._cache.move_to_end(i)
         return fv
+
+    def mask_of(self, i) -> np.ndarray:
+        """The pinned consumption mask for view `i`, WITHOUT keeping the
+        view's heavy arrays resident (first access loads once to pick up
+        the mask_dir initialization)."""
+        m = self._masks.get(i)
+        if m is None:
+            m = self[i].mask
+        return m
 
     def __iter__(self):
         return iter(self._ids)

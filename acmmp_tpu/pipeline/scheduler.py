@@ -80,39 +80,50 @@ class _ViewData:
 
 
 class ViewLoader:
-    """Loads and caches grayscale images + cameras, rescaled per size."""
+    """Loads and caches grayscale images + cameras, rescaled per size.
 
-    def __init__(self, dense_folder: str, image_dir: str = "images"):
+    The raw cache stores uint8 (lossless — load_image_gray yields exact
+    u8 values; 4x less host memory). The per-size f32 cache is a
+    byte-budgeted LRU: the schedule is mostly coarse->fine so old sizes
+    age out, but views that exhaust their downscale count early are
+    re-requested at the SAME size every later scale and stay warm
+    (clearing at scale boundaries would re-rescale them each scale)."""
+
+    def __init__(self, dense_folder: str, image_dir: str = "images",
+                 scaled_cache_bytes: int = 1 << 30):
+        from collections import OrderedDict
+
         self.dense = dense_folder
         self.image_dir = image_dir
         self._raw: Dict[int, _ViewData] = {}
-        self._scaled: Dict[tuple, _ViewData] = {}
+        self._scaled: "OrderedDict[tuple, _ViewData]" = OrderedDict()
+        self._scaled_bytes = 0
+        self._budget = scaled_cache_bytes
 
     def raw(self, image_id: int) -> _ViewData:
         if image_id not in self._raw:
             img = load_image_gray(image_path(self.dense, image_id, self.image_dir))
             cam = read_cam_txt(cam_path(self.dense, image_id))
             cam.width, cam.height = img.shape[1], img.shape[0]
-            # store u8 (lossless: load_image_gray yields exact u8 values) —
-            # 4x less host memory; DTU-scale scenes keep ~64 full-res views
-            # in this cache for the whole run
             self._raw[image_id] = _ViewData(img.astype(np.uint8), cam)
         return self._raw[image_id]
 
     def at_size(self, image_id: int, max_size: int) -> _ViewData:
         key = (image_id, max_size)
-        if key not in self._scaled:
+        v = self._scaled.get(key)
+        if v is None:
             raw = self.raw(image_id)
             img, cam = rescale_to_max_size(
                 raw.image.astype(np.float32), raw.cam, max_size)
-            self._scaled[key] = _ViewData(img, cam)
-        return self._scaled[key]
-
-    def new_scale(self) -> None:
-        """Drop the per-scale f32 cache: a finished scale's sizes are never
-        requested again (the schedule is strictly coarse->fine), and at
-        3200-px resolutions the f32 rescaled copies dominate host memory."""
-        self._scaled.clear()
+            v = _ViewData(img, cam)
+            self._scaled[key] = v
+            self._scaled_bytes += img.nbytes
+            while self._scaled_bytes > self._budget and len(self._scaled) > 1:
+                _, old = self._scaled.popitem(last=False)
+                self._scaled_bytes -= old.image.nbytes
+        else:
+            self._scaled.move_to_end(key)
+        return v
 
 
 def _write_outputs(rdir: str, out: SolverOutputs, h: int, w: int,
@@ -575,7 +586,6 @@ def run_pipeline(dense_folder: str, cfg: PipelineConfig, mesh=None) -> str:
     scale = max_num_downscale
     while scale >= 0:
         log.info("Scale: %d", scale)
-        loader.new_scale()
         for p in problems:
             if p.num_downscale >= 0:
                 p.cur_image_size = p.max_image_size // (2 ** p.num_downscale)

@@ -16,6 +16,7 @@ PROBE = (
     "import time, jax, jax.numpy as jnp;"
     "jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache');"
     "t0=time.time(); d=jax.devices();"
+    "assert d[0].platform != 'cpu', f'fell back to CPU: {d}';"
     "x=jnp.ones((256,256)); v=float((x@x).sum());"
     "print(f'TPU OK: {d[0].platform} {v:.0f} {time.time()-t0:.1f}s')"
 )
@@ -40,8 +41,9 @@ def main():
             if out.returncode == 0 and "TPU OK" in out.stdout:
                 print(f"[{t}] attempt {n}: {out.stdout.strip()}", flush=True)
                 return 0
+            err = out.stderr.strip().splitlines()
             print(f"[{t}] attempt {n}: rc={out.returncode} "
-                  f"{out.stderr.strip().splitlines()[-1:] or ''}", flush=True)
+                  f"{err[-1] if err else '(no stderr)'}", flush=True)
         except subprocess.TimeoutExpired:
             print(f"[{t}] attempt {n}: timeout ({args.timeout}s) — "
                   "tunnel still down", flush=True)
