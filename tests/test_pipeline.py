@@ -135,6 +135,34 @@ def test_cli_friendly_error_on_missing_folder(tmp_path):
     assert e.value.code == 2
 
 
+def test_view_loader_lru(tmp_path):
+    """The per-size f32 cache is a byte-budgeted LRU: recurring sizes stay
+    warm (views past their downscale count repeat a size every scale),
+    values are identical across eviction/reload, and the budget holds."""
+    from acmmp_tpu.pipeline.scheduler import ViewLoader
+
+    images, cams, _ = textured_plane_scene(n_views=3, width=64, height=48)
+    dense = write_dense_folder(tmp_path, images, cams)
+
+    # budget fits ~2 entries at 64x48 f32 (12,288 B each)
+    loader = ViewLoader(dense, scaled_cache_bytes=30_000)
+    a = loader.at_size(0, 64)
+    assert loader.at_size(0, 64) is a          # warm hit, same object
+    b64 = loader.at_size(1, 64)
+    assert loader.at_size(0, 64) is a          # still resident (LRU order)
+    c = loader.at_size(2, 64)                  # evicts LRU entry (1, 64)
+    assert loader._scaled_bytes <= 30_000
+    b2 = loader.at_size(1, 64)                 # reload after eviction
+    assert b2 is not b64
+    np.testing.assert_array_equal(b2.image, b64.image)
+    # raw cache is uint8 and lossless through the f32 round trip
+    assert loader.raw(0).image.dtype == np.uint8
+    np.testing.assert_array_equal(
+        loader.at_size(0, 64).image,
+        loader.raw(0).image.astype(np.float32))
+    del a, c
+
+
 @pytest.mark.slow
 def test_lazy_prior_aware_fusion_matches_eager(tmp_path):
     """Dual-candidate fusion (two checkpoint folders per view) through the
