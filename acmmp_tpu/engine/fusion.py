@@ -239,20 +239,26 @@ class FusionView:
 
 
 def _assemble_problem(prob, views, v_max, sh, sw, prior_aware):
-    """Per-reference-view fusion arrays at the (sh, sw) padded source shape.
-    Masks are read HERE — the greedy consumption a problem sees is the mask
-    state at assembly time."""
+    """Per-reference-view fusion arrays at the (sh, sw) padded source shape
+    (pass v_max=None to pad to this problem's OWN sources — the sequential
+    path; the mesh path passes the scene-wide stack shape). Masks are read
+    HERE — the greedy consumption a problem sees is the mask state at
+    assembly time."""
     i = prob.ref_image_id
     rv = views[i]
     src_ids = [s for s in prob.src_image_ids if s in views]
     if not src_ids:
         return None
-    pad_ids = src_ids + [src_ids[0]] * (v_max - len(src_ids))
-    # fetch each view object ONCE (the multiple stack passes below would
-    # otherwise cyclically thrash a LazyFusionViews LRU smaller than the
-    # problem's view set); local strong refs bound peak memory at exactly
-    # this problem's working set
+    # fetch each view object ONCE (the stack passes and the pad-shape scan
+    # below would otherwise cyclically thrash a LazyFusionViews LRU smaller
+    # than the problem's view set); local strong refs bound peak memory at
+    # exactly this problem's working set
     held = {s: views[s] for s in src_ids}
+    if v_max is None:
+        v_max = len(src_ids)
+        sh = max(v.depth.shape[0] for v in held.values())
+        sw = max(v.depth.shape[1] for v in held.values())
+    pad_ids = src_ids + [src_ids[0]] * (v_max - len(src_ids))
 
     def stack(get, fill=0.0):
         out = []
@@ -353,12 +359,6 @@ def fuse_views(views: Dict[int, FusionView], problems: Sequence[Problem],
         sh = max((views[i].depth.shape[0] for i in all_ids), default=1)
         sw = max((views[i].depth.shape[1] for i in all_ids), default=1)
 
-    def problem_pad(p):
-        ids = [s for s in p.src_image_ids if s in views]
-        return (len(ids),
-                max(views[i].depth.shape[0] for i in ids),
-                max(views[i].depth.shape[1] for i in ids))
-
     def run_one(arrays, cams):
         kw = {k: jnp.asarray(v) for k, v in arrays.items()}
         kw.update(cams)
@@ -374,7 +374,7 @@ def fuse_views(views: Dict[int, FusionView], problems: Sequence[Problem],
         group = probs[g0:g0 + group_size]
         if mesh is None:
             asm = [a for a in
-                   (_assemble_problem(p, views, *problem_pad(p), prior_aware)
+                   (_assemble_problem(p, views, None, None, None, prior_aware)
                     for p in group) if a is not None]
         else:
             asm = [a for a in

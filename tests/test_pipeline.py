@@ -163,6 +163,42 @@ def test_view_loader_lru(tmp_path):
     del a, c
 
 
+def test_lazy_fusion_load_count_bounded():
+    """Efficiency contract: with a cache smaller than a problem's view
+    set, fusion loads each view at most once per problem (assembly holds
+    local refs; mask consumption uses the pinned masks) — not once per
+    stacked array pass."""
+    from acmmp_tpu.config import FusionParams
+    from acmmp_tpu.engine.fusion import (
+        FusionView, LazyFusionViews, fuse_views,
+    )
+    from acmmp_tpu.io.dense_folder import Problem
+    from tests.util import textured_plane_scene
+
+    n_views = 4
+    images, cams, plane_z = textured_plane_scene(
+        n_views=n_views, width=64, height=48)
+    loads = []
+
+    def load_one(i):
+        loads.append(i)
+        depth = np.full((48, 64), plane_z, np.float32)
+        normal = np.zeros((48, 64, 3), np.float32)
+        normal[..., 2] = -1.0
+        img = np.stack([images[i]] * 3, axis=-1).astype(np.float32)
+        return FusionView(img, cams[i], depth, normal)
+
+    views = LazyFusionViews(range(n_views), load_one, max_cached=2)
+    problems = [Problem(ref_image_id=i,
+                        src_image_ids=[j for j in range(n_views) if j != i])
+                for i in range(n_views)]
+    pts, _, _ = fuse_views(views, problems, FusionParams(
+        num_consistent_thresh=2))
+    assert len(pts) > 0
+    # at most (1 ref + 3 src) loads per problem; mask updates add none
+    assert len(loads) <= n_views * n_views, loads
+
+
 @pytest.mark.slow
 def test_lazy_prior_aware_fusion_matches_eager(tmp_path):
     """Dual-candidate fusion (two checkpoint folders per view) through the
