@@ -1,0 +1,26 @@
+#!/bin/bash
+# Waits for the axon tunnel to come back, then runs the queued TPU
+# measurements sequentially (single-client tunnel — nothing else may
+# touch the TPU while this runs):
+#   1. NCC microbench (validates + times the two-phase/paired-chunk kernel)
+#   2. bench.py (headline numbers)
+# Logs to /tmp/tpu_queue.log; touches /tmp/tpu_queue.DONE when finished.
+set -u
+cd /root/repo
+LOG=/tmp/tpu_queue.log
+: > "$LOG"
+echo "[$(date +%H:%M:%S)] waiting for tunnel" >> "$LOG"
+while true; do
+  if timeout 180 python tools/tpu_probe.py --attempts 1 --interval 1 >> "$LOG" 2>&1; then
+    echo "[$(date +%H:%M:%S)] tunnel is UP" >> "$LOG"
+    break
+  fi
+  sleep 180
+done
+echo "[$(date +%H:%M:%S)] microbench (new kernel)" >> "$LOG"
+timeout 1800 python tools/ncc_microbench.py >> "$LOG" 2>&1
+echo "[$(date +%H:%M:%S)] microbench rc=$?" >> "$LOG"
+echo "[$(date +%H:%M:%S)] bench.py" >> "$LOG"
+timeout 3000 python bench.py >> "$LOG" 2>&1
+echo "[$(date +%H:%M:%S)] bench rc=$?" >> "$LOG"
+touch /tmp/tpu_queue.DONE
