@@ -123,6 +123,9 @@ class FusionParams:
     consistency_scalar: float = 0.3        # --fuse_thresh
     num_consistent_thresh: int = 1         # --num_consistent_thresh
     single_match_penalty: int = 0          # --single_match_penalty (prior-aware)
+    # source-map read backend: "auto" = Pallas coherent row-scan gather on
+    # TPU (ops/pallas_sample.py), jnp oracle elsewhere; both bitwise-equal
+    sample_backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

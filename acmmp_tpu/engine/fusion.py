@@ -31,6 +31,7 @@ import numpy as np
 
 from acmmp_tpu.config import FusionParams
 from acmmp_tpu.core import geometry as geo
+from acmmp_tpu.ops import sample as sample_ops
 from acmmp_tpu.io import read_dmb, write_ply
 from acmmp_tpu.io.dense_folder import (
     NumpyCamera, Problem, cam_path, image_path, load_image_color,
@@ -42,14 +43,23 @@ from acmmp_tpu.io.dense_folder import (
 # jitted per-reference-view kernels
 # ---------------------------------------------------------------------------
 
-def _per_view_consistency(ref_cam, src_cams, src_depths, src_normals,
-                          src_masks, Xw, ref_depth, ref_normal, x, y,
-                          fp: FusionParams):
+def _per_view_consistency(ref_cam, src_cams, recons, src_masks, Xw,
+                          ref_depth, ref_normal, x, y, rv, fp: FusionParams):
     """Project ref pixels into each source view and score consistency.
 
-    Returns per-view (consistent [V,H,W], dyn [V,H,W], src_r, src_c)."""
+    `recons` is a sequence of (src_depths [V,Hs,Ws], src_normals [V,Hs,Ws,3])
+    reconstructions scored against the SAME projection (the dual-candidate
+    fusion scores each candidate against both recons); `rv` is the ref-side
+    candidate validity. The source-map reads are one fused coherent gather
+    (ops/sample.py — Pallas row-scan on TPU instead of XLA's slow 2D
+    gather); masks fold into the depth channel (`~smask & sdepth>0` ==
+    `depth_eff>0`), and lanes outside `inb & rv` read zeros — every
+    consumer gates those lanes out, so results are bitwise-unchanged.
 
-    def one(src_cam, sd, sn, sm):
+    Returns ([(consistent [V,H,W], dyn [V,H,W])] per recon, src_r, src_c)."""
+    Hs, Ws = recons[0][0].shape[1:]
+
+    def proj(src_cam):
         uv, _ = geo.project(src_cam, Xw)
         src_c = jnp.floor(uv[..., 0] + 0.5).astype(jnp.int32)
         src_r = jnp.floor(uv[..., 1] + 0.5).astype(jnp.int32)
@@ -57,27 +67,38 @@ def _per_view_consistency(ref_cam, src_cams, src_depths, src_normals,
             (src_c >= 0) & (src_c < src_cam.width.astype(jnp.int32))
             & (src_r >= 0) & (src_r < src_cam.height.astype(jnp.int32))
         )
-        cc = jnp.clip(src_c, 0, sd.shape[1] - 1)
-        rr = jnp.clip(src_r, 0, sd.shape[0] - 1)
-        sdepth = sd[rr, cc]
-        snormal = sn[rr, cc]
-        smask = sm[rr, cc]
-        Xs = geo.world_point(src_cam, cc.astype(jnp.float32),
-                             rr.astype(jnp.float32), sdepth)
+        return jnp.clip(src_c, 0, Ws - 1), jnp.clip(src_r, 0, Hs - 1), inb
+
+    cc, rr, inb = jax.vmap(proj)(src_cams)
+    maps = jnp.concatenate([
+        jnp.concatenate([jnp.where(src_masks, 0.0, sd)[:, None],
+                         jnp.transpose(sn, (0, 3, 1, 2))], axis=1)
+        for sd, sn in recons], axis=1)              # [V, 4*n_recons, Hs, Ws]
+    smp = sample_ops.gather2d_sample(maps, rr, cc, inb & rv[None],
+                                     backend=fp.sample_backend)
+
+    def score(src_cam, sdepth, snormal, rr_v, cc_v, inb_v):
+        Xs = geo.world_point(src_cam, cc_v.astype(jnp.float32),
+                             rr_v.astype(jnp.float32), sdepth)
         buv, proj_depth = geo.project(ref_cam, Xs)
         err = jnp.sqrt((x - buv[..., 0]) ** 2 + (y - buv[..., 1]) ** 2)
         rdd = jnp.abs(proj_depth - ref_depth) / jnp.maximum(ref_depth, 1e-12)
         ang = geo.angle_between(ref_normal, snormal)
         ok = (
-            inb & ~smask & (sdepth > 0.0)
+            inb_v & (sdepth > 0.0)
             & (err < fp.max_reproj_error)
             & (rdd < fp.max_relative_depth_diff)
             & (ang < fp.max_normal_angle)
         )
         dyn = jnp.exp(-(err + fp.depth_diff_weight * rdd + fp.angle_weight * ang))
-        return ok, jnp.where(ok, dyn, 0.0), rr, cc
+        return ok, jnp.where(ok, dyn, 0.0)
 
-    return jax.vmap(one)(src_cams, src_depths, src_normals, src_masks)
+    outs = []
+    for k in range(len(recons)):
+        sdepth = smp[:, 4 * k]
+        snormal = jnp.transpose(smp[:, 4 * k + 1:4 * k + 4], (0, 2, 3, 1))
+        outs.append(jax.vmap(score)(src_cams, sdepth, snormal, rr, cc, inb))
+    return outs, rr, cc
 
 
 def _fuse_view_plain_parts(ref_depth, ref_normal, ref_mask, ref_cam,
@@ -91,9 +112,9 @@ def _fuse_view_plain_parts(ref_depth, ref_normal, ref_mask, ref_cam,
     x, y = geo.pixel_grid(H, W)
     valid = (~ref_mask) & (ref_depth > 0.0) & (ref_depth < ref_cam.depth_max)
     Xw = geo.world_point(ref_cam, x, y, ref_depth)
-    ok, dyn, rr, cc = _per_view_consistency(
-        ref_cam, src_cams, src_depths, src_normals, src_masks, Xw,
-        ref_depth, ref_normal, x, y, fp,
+    [(ok, dyn)], rr, cc = _per_view_consistency(
+        ref_cam, src_cams, [(src_depths, src_normals)], src_masks, Xw,
+        ref_depth, ref_normal, x, y, valid, fp,
     )
     ok = ok & view_mask[:, None, None]
     return valid, Xw, ok, dyn, rr, cc
@@ -131,25 +152,23 @@ def _fuse_view_dual_parts(ref_depth0, ref_normal0, ref_depth1, ref_normal1,
     replayed on the host by the sharded path, as in the plain variant)."""
     H, W = ref_depth0.shape
     x, y = geo.pixel_grid(H, W)
+    v0 = (~ref_mask) & (ref_depth0 > 0.0)
+    v1 = (~ref_mask) & (ref_depth1 > 0.0)
 
-    def score(ref_depth, ref_normal):
+    def score(ref_depth, ref_normal, rv):
         Xw = geo.world_point(ref_cam, x, y, ref_depth)
-        ok0, dyn0, rr, cc = _per_view_consistency(
-            ref_cam, src_cams, src_depths0, src_normals0, src_masks, Xw,
-            ref_depth, ref_normal, x, y, fp)
-        ok1, dyn1, _, _ = _per_view_consistency(
-            ref_cam, src_cams, src_depths1, src_normals1, src_masks, Xw,
-            ref_depth, ref_normal, x, y, fp)
+        [(ok0, dyn0), (ok1, dyn1)], rr, cc = _per_view_consistency(
+            ref_cam, src_cams,
+            [(src_depths0, src_normals0), (src_depths1, src_normals1)],
+            src_masks, Xw, ref_depth, ref_normal, x, y, rv, fp)
         ok = (ok0 | ok1) & view_mask[:, None, None]
         dyn = jnp.where(ok0 & ok1, jnp.maximum(dyn0, dyn1),
                         jnp.where(ok0, dyn0, dyn1))
         dyn = jnp.where(ok, dyn, 0.0)
         return Xw, ok, dyn, rr, cc
 
-    v0 = (~ref_mask) & (ref_depth0 > 0.0)
-    v1 = (~ref_mask) & (ref_depth1 > 0.0)
-    return v0, v1, score(ref_depth0, ref_normal0), \
-        score(ref_depth1, ref_normal1)
+    return v0, v1, score(ref_depth0, ref_normal0, v0), \
+        score(ref_depth1, ref_normal1, v1)
 
 
 def _fuse_view_dual(ref_depth0, ref_normal0, ref_depth1, ref_normal1,

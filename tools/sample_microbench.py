@@ -1,0 +1,84 @@
+"""TPU microbench: fusion's source-map gather — XLA 2D gather vs the
+Pallas coherent row-scan sampler (ops/pallas_sample.py).
+
+Shapes model DTU-class fusion: full-res maps, 4 channels (depth + normal),
+V source views, coherent projected index fields plus a sprinkling of
+invalid lanes (failed pixels project wild — the sentinel fold must keep
+them out of the scan window).
+
+Methodology per CLAUDE.md: in-program lax.scan over distinct index fields
+with a forced transfer; warmup with the SAME shape.
+"""
+
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from acmmp_tpu.ops.pallas_sample import gather2d_pallas
+    from acmmp_tpu.ops.sample import gather2d
+
+    V, C = 8, 4
+    Hs, Ws = 1184, 1600
+    H, W = 1184, 1600
+    REPS = 4
+    rng = np.random.default_rng(0)
+
+    maps = rng.normal(size=(V, C, Hs, Ws)).astype(np.float32)
+    y, x = np.mgrid[:H, :W].astype(np.float32)
+    # coherent projected fields: per-view affine warp + smooth wobble
+    rr = np.stack([
+        np.clip(0.93 * y + 0.04 * x + 9.0 * np.sin(x / 97.0 + v), 0, Hs - 1)
+        for v in range(V)]).astype(np.int32)
+    cc = np.stack([
+        np.clip(0.96 * x - 0.03 * y + 7.0 * np.cos(y / 83.0 + v), 0, Ws - 1)
+        for v in range(V)]).astype(np.int32)
+    valid = rng.random((V, H, W)) < 0.92
+    rr = np.where(valid, rr, np.int32(-2147483648))
+    cc = np.where(valid, cc, np.int32(2147483647))
+
+    maps_d = jnp.asarray(maps)
+    rr_d = jnp.asarray(rr)
+    cc_d = jnp.asarray(cc)
+    valid_d = jnp.asarray(valid)
+
+    def bench(fn, name):
+        @jax.jit
+        def run():
+            def body(acc, s):
+                out = fn(maps_d, jnp.clip(rr_d + s, 0, Hs - 1),
+                         jnp.clip(cc_d, 0, Ws - 1), valid_d)
+                return acc + out.sum(), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+                                  jnp.arange(REPS, dtype=jnp.int32))
+            return acc
+
+        float(run())                       # warmup, same shape
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            float(run())
+            times.append((time.time() - t0) / REPS * 1e3)
+        el = sorted(times)[1]
+        gels = V * C * H * W / (el * 1e-3) / 1e9
+        print(f"{name}: {el:.2f} ms/call ({gels:.2f} G elements/s) "
+              f"[{min(times):.2f}, {max(times):.2f}]", flush=True)
+        return el
+
+    # clip inside bench keeps the +s shift legal for valid lanes; invalid
+    # sentinels clip to in-range values for the jnp path (it gathers them
+    # anyway) — the same work either way, so the comparison is fair
+    t_jnp = bench(gather2d, "xla-gather")
+    t_pls = bench(gather2d_pallas, "pallas-rowscan")
+    print(f"speedup: {t_jnp / t_pls:.2f}x", flush=True)
+
+
+if __name__ == "__main__":
+    main()
