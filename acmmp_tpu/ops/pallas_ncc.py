@@ -319,16 +319,28 @@ def multiview_zncc_pallas(
                 one_m_fy = 1.0 - fy
 
                 # column chunks are visited in PAIRS: the gathered words
-                # from the two chunks are merged per lane first (each
-                # lane's x lives in exactly one chunk), so the ~28-vop
-                # byte-extraction block below runs once per pair instead
-                # of once per chunk — for the coherent x-span (~130 lanes
-                # -> 2 chunks) that is once per tap per word-row.
+                # from the two chunks are merged per lane (each lane's x
+                # lives in exactly one chunk), so the coherent x-span
+                # (~130 lanes -> 2 chunks) costs one pass per word-row.
                 n_cp = (n_cols + 1) // 2
                 last_col = Ws_p // TILE_W - 1
 
+                # the words holding bilinear rows yi and yi+1: the scan
+                # SELECTS raw 32-bit words with cheap compare-selects and
+                # the ~26-op byte-extraction + bilinear block runs ONCE per
+                # tap after the loop, not once per word-row visit. Each
+                # (word, column) is found in exactly one (chunk, pair)
+                # visit, so plain masked overwrites accumulate correctly
+                # across visits; unmatched accumulators stay 0, whose
+                # extracted byte is 0 and whose bilinear weight is 0 at
+                # every lane that could leave them unmatched (clamped
+                # col_hi spill has fx == 0; the clipped bottom edge has
+                # fy == 0).
+                k0w = yi // R                        # word row of yi
+                k1w = (yi + 1) // R                  # word row of yi+1
+
                 def scan_body(i, carry):
-                    acc = carry
+                    W00, W01, W10, W11 = carry
                     cw = (c_lo + i // n_cp) * TILE_H    # word base, in-copy
                     r0w = ph_mem + cw                   # memory word row
                     ca = col_lo + 2 * (i % n_cp)
@@ -352,19 +364,21 @@ def multiview_zncc_pallas(
                     xl1B = xlB + 1
                     in0B = (xlB >= 0) & (xlB < TILE_W) & has_b
                     in1B = (xl1B >= 0) & (xl1B < TILE_W) & has_b
-                    # fold the column bilinear weights with the in-pair
-                    # masks: lanes outside both chunks contribute 0, and
-                    # contributions accumulate across pairs (x0/x1 can
-                    # straddle a pair boundary)
-                    a0 = jnp.where(((xlA >= 0) & (xlA < TILE_W)) | in0B,
-                                   1.0 - fx, 0.0)
-                    a1 = jnp.where(((xl1A >= 0) & (xl1A < TILE_W)) | in1B,
-                                   fx, 0.0)
+                    # columns x0/x1 can straddle a pair boundary — each is
+                    # picked up by the pair that holds it
+                    in0 = ((xlA >= 0) & (xlA < TILE_W)) | in0B
+                    in1 = ((xl1A >= 0) & (xl1A < TILE_W)) | in1B
                     xc0A = jnp.clip(xlA, 0, TILE_W - 1)
                     xc1A = jnp.clip(xl1A, 0, TILE_W - 1)
                     xc0B = jnp.clip(xlB, 0, TILE_W - 1)
                     xc1B = jnp.clip(xl1B, 0, TILE_W - 1)
-                    def row_contrib(pr, a):
+                    k0rel = k0w - (off + cw)
+                    k1rel = k1w - (off + cw)
+                    for pr in range(TILE_H):
+                        # NB: a scalar lax.cond guard per word-row (skip
+                        # rows no lane samples) was measured 2-3.7x SLOWER
+                        # on Mosaic — scf.if with vector carries defeats
+                        # the pipeliner. Keep the bodies unconditional.
                         rowA = jnp.broadcast_to(chA[pr:pr + 1, :],
                                                 (TILE_H, TILE_W))
                         rowB = jnp.broadcast_to(chB[pr:pr + 1, :],
@@ -375,53 +389,39 @@ def multiview_zncc_pallas(
                         g1 = jnp.where(
                             in1B, jnp.take_along_axis(rowB, xc1B, axis=1),
                             jnp.take_along_axis(rowA, xc1A, axis=1))
-                        # rows yi (weight 1-fy) and yi+1 (weight fy) are
-                        # extracted from the R-row word by per-lane dynamic
-                        # shifts; out-of-word rows get weight 0 and are
-                        # picked up by the word that holds them. sy is
-                        # clipped so the bottom edge (yi == Hs_p-1, fy == 0)
-                        # gets full weight.
-                        rw = (off + cw + pr) * R
-                        k0 = yi - rw
-                        k1 = k0 + 1
-                        # shift amount: (k & (R-1)) * bw is cheaper than a
-                        # clip and safe for any k (weights zero it out);
-                        # range test as ONE unsigned compare (negatives
-                        # wrap to huge)
-                        s0 = (k0 & (R - 1)) * bw
-                        s1 = (k1 & (R - 1)) * bw
-                        w0 = jnp.where(
-                            jax.lax.bitcast_convert_type(k0, jnp.uint32) < R,
-                            one_m_fy, 0.0)
-                        w1 = jnp.where(
-                            jax.lax.bitcast_convert_type(k1, jnp.uint32) < R,
-                            fy, 0.0)
-                        e00 = jax.lax.shift_right_logical(g0, s0)
-                        e01 = jax.lax.shift_right_logical(g0, s1)
-                        e10 = jax.lax.shift_right_logical(g1, s0)
-                        e11 = jax.lax.shift_right_logical(g1, s1)
-                        if src_u8:
-                            v00 = (e00 & 0xFF).astype(jnp.float32)
-                            v01 = (e01 & 0xFF).astype(jnp.float32)
-                            v10 = (e10 & 0xFF).astype(jnp.float32)
-                            v11 = (e11 & 0xFF).astype(jnp.float32)
-                        else:
-                            bc = lambda e: jax.lax.bitcast_convert_type(  # noqa: E731
-                                e << 16, jnp.float32)
-                            v00, v01, v10, v11 = bc(e00), bc(e01), bc(e10), bc(e11)
-                        return a + (w0 * (a0 * v00 + a1 * v10)
-                                    + w1 * (a0 * v01 + a1 * v11))
+                        m0 = k0rel == pr
+                        m1 = k1rel == pr
+                        W00 = jnp.where(m0 & in0, g0, W00)
+                        W01 = jnp.where(m1 & in0, g0, W01)
+                        W10 = jnp.where(m0 & in1, g1, W10)
+                        W11 = jnp.where(m1 & in1, g1, W11)
+                    return W00, W01, W10, W11
 
-                    for pr in range(TILE_H):
-                        # NB: a scalar lax.cond guard per word-row (skip
-                        # rows no lane samples) was measured 2-3.7x SLOWER
-                        # on Mosaic — scf.if with vector carries defeats
-                        # the pipeliner. Keep the bodies unconditional.
-                        acc = row_contrib(pr, acc)
-                    return acc
+                zW = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+                W00, W01, W10, W11 = jax.lax.fori_loop(
+                    0, n_rb * n_cp, scan_body, (zW, zW, zW, zW))
 
-                zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-                val = jax.lax.fori_loop(0, n_rb * n_cp, scan_body, zero)
+                # extraction, once per tap: rows yi / yi+1 live at in-word
+                # byte positions (yi & (R-1)) — per-lane dynamic shifts
+                s0 = (yi & (R - 1)) * bw
+                s1 = ((yi + 1) & (R - 1)) * bw
+                e00 = jax.lax.shift_right_logical(W00, s0)
+                e01 = jax.lax.shift_right_logical(W01, s1)
+                e10 = jax.lax.shift_right_logical(W10, s0)
+                e11 = jax.lax.shift_right_logical(W11, s1)
+                if src_u8:
+                    v00 = (e00 & 0xFF).astype(jnp.float32)
+                    v01 = (e01 & 0xFF).astype(jnp.float32)
+                    v10 = (e10 & 0xFF).astype(jnp.float32)
+                    v11 = (e11 & 0xFF).astype(jnp.float32)
+                else:
+                    bc = lambda e: jax.lax.bitcast_convert_type(  # noqa: E731
+                        e << 16, jnp.float32)
+                    v00, v01, v10, v11 = bc(e00), bc(e01), bc(e10), bc(e11)
+                a0 = 1.0 - fx
+                a1 = fx
+                val = (one_m_fy * (a0 * v00 + a1 * v10)
+                       + fy * (a0 * v01 + a1 * v11))
 
                 wt = w_ref[0, t]
                 sum_src = sum_src + wt * val
