@@ -342,7 +342,12 @@ def multiview_zncc_pallas(
                 def scan_body(i, carry):
                     W00, W01, W10, W11 = carry
                     cw = (c_lo + i // n_cp) * TILE_H    # word base, in-copy
-                    r0w = ph_mem + cw                   # memory word row
+                    # ph_mem is a where-select between 0 and n_words (both
+                    # multiples of TILE_H) — Mosaic cannot prove alignment
+                    # of the sum statically, so assert it explicitly or the
+                    # TPU compile fails ("cannot statically prove that
+                    # index in dimension 1 is a multiple of 8").
+                    r0w = pl.multiple_of(ph_mem + cw, TILE_H)
                     ca = col_lo + 2 * (i % n_cp)
                     has_b = ca < col_hi                 # 2nd member exists
                     cb = jnp.minimum(ca + 1, last_col)

@@ -10,9 +10,13 @@ Methodology per CLAUDE.md: in-program lax.scan over distinct index fields
 with a forced transfer; warmup with the SAME shape.
 """
 
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -50,21 +54,24 @@ def main():
     valid_d = jnp.asarray(valid)
 
     def bench(fn, name):
+        # arrays must be jit ARGUMENTS: closure-captured device arrays are
+        # baked into the HLO as constants (~242 MB here), which the axon
+        # remote-compile endpoint rejects with HTTP 413
         @jax.jit
-        def run():
+        def run(maps_a, rr_a, cc_a, valid_a):
             def body(acc, s):
-                out = fn(maps_d, jnp.clip(rr_d + s, 0, Hs - 1),
-                         jnp.clip(cc_d, 0, Ws - 1), valid_d)
+                out = fn(maps_a, jnp.clip(rr_a + s, 0, Hs - 1),
+                         jnp.clip(cc_a, 0, Ws - 1), valid_a)
                 return acc + out.sum(), None
             acc, _ = jax.lax.scan(body, jnp.float32(0.0),
                                   jnp.arange(REPS, dtype=jnp.int32))
             return acc
 
-        float(run())                       # warmup, same shape
+        float(run(maps_d, rr_d, cc_d, valid_d))   # warmup, same shape
         times = []
         for _ in range(3):
             t0 = time.time()
-            float(run())
+            float(run(maps_d, rr_d, cc_d, valid_d))
             times.append((time.time() - t0) / REPS * 1e3)
         el = sorted(times)[1]
         gels = V * C * H * W / (el * 1e-3) / 1e9

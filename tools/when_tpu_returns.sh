@@ -24,14 +24,14 @@ while true; do
 done
 echo "[$(date +%H:%M:%S)] microbench (new kernel)" >> "$LOG"
 timeout 1800 python tools/ncc_microbench.py >> "$LOG" 2>&1
-echo "[$(date +%H:%M:%S)] microbench rc=$?" >> "$LOG"
+rc=$?; echo "[$(date +%H:%M:%S)] microbench rc=$rc" >> "$LOG"
 echo "[$(date +%H:%M:%S)] bench.py" >> "$LOG"
 timeout 3000 python bench.py >> "$LOG" 2>&1
-echo "[$(date +%H:%M:%S)] bench rc=$?" >> "$LOG"
+rc=$?; echo "[$(date +%H:%M:%S)] bench rc=$rc" >> "$LOG"
 echo "[$(date +%H:%M:%S)] solve_profile" >> "$LOG"
 timeout 1800 python tools/solve_profile.py >> "$LOG" 2>&1
-echo "[$(date +%H:%M:%S)] solve_profile rc=$?" >> "$LOG"
+rc=$?; echo "[$(date +%H:%M:%S)] solve_profile rc=$rc" >> "$LOG"
 echo "[$(date +%H:%M:%S)] sample_microbench" >> "$LOG"
 timeout 1800 python tools/sample_microbench.py >> "$LOG" 2>&1
-echo "[$(date +%H:%M:%S)] sample_microbench rc=$?" >> "$LOG"
+rc=$?; echo "[$(date +%H:%M:%S)] sample_microbench rc=$rc" >> "$LOG"
 touch /tmp/tpu_queue.DONE
