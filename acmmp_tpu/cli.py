@@ -52,6 +52,7 @@ def _cfg_from_args(args, prior: bool) -> PipelineConfig:
         force_fusion=args.force_fusion,
         seed=getattr(args, "seed", 0),
         debug_images=getattr(args, "debug_images", False),
+        resume=getattr(args, "resume", False),
         fusion_view_cache=getattr(args, "fusion_view_cache", 0),
         patchmatch=PatchMatchParams(
             max_image_size=getattr(args, "max_image_size", 3200),
@@ -84,6 +85,10 @@ def main(argv=None):
     pr.add_argument("--debug_images", action="store_true",
                     help="write approved_pixels_cam_N.png and "
                          "triangulation.png debug artifacts")
+    pr.add_argument("--resume", action="store_true",
+                    help="skip (view, scale, mode) solves already completed "
+                         "by a previous run (stage markers next to the .dmb "
+                         "outputs)")
 
     pf = sub.add_parser("fuse", help="fusion only, from existing .dmb outputs")
     _add_common_fusion_flags(pf)

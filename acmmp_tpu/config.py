@@ -93,6 +93,11 @@ class PatchMatchParams:
     # row-packed half grid (ops/parity.py) — 2x less work in the hot op;
     # identical update rule, different RNG stream shapes.
     parity_packed: bool = True
+    # K-batched Pallas tile visits for MUTUALLY COHERENT hypothesis stacks
+    # (checkerboard propagation candidates): all K evaluated per (view,
+    # tile) visit sharing the gathered source chunks over the union scan
+    # window (ops/pallas_ncc.py k_shared). Bitwise-equal to the per-k grid.
+    ncc_kbatch_coherent: bool = True
 
     # --- deviations from the reference (documented in DEVIATIONS.md) ---
     # The reference's right_far strip selects the MAX-cost member due to a
@@ -152,6 +157,12 @@ class PipelineConfig:
     # >1 enables the batched executor; a mesh passed to run_pipeline shards
     # the batch over its "view" axis
     view_batch: int = 1
+    # stage-level resume: skip a (view, scale, mode) solve whose pass
+    # marker (.pass_NNN.json next to its .dmb outputs) records a completed
+    # solve from a previous run with the same schedule. Mirrors the
+    # reference harness's output-existence resume
+    # (evaluate_dtu_structure.py:42-60) at stage granularity (SURVEY §5).
+    resume: bool = False
     # write per-view debug artifacts: approved_pixels_cam_N.png from fusion
     # (acmmp_definitions.cpp:1035-1038) and triangulation.png from the
     # planar-prior triangulation (:329)

@@ -183,9 +183,17 @@ def _restricted_score(cost, depth, normal, prior_planes, prior_depth, dmin, dmax
     return jnp.exp(-cost * cost / params.prior_beta) * prior
 
 
+def _random_init_mode(mode: Mode) -> bool:
+    """True when initialization is per-pixel random planes (the photometric
+    first pass) — the one case where sweep 0's propagation candidates are
+    mutually incoherent (see prop_coherent below)."""
+    return not (mode.geom_consistency or mode.hierarchy or mode.seeded
+                or mode.planar_prior)
+
+
 def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
            iteration, key: jax.Array, params: PatchMatchParams,
-           mode: Mode) -> SolverState:
+           mode: Mode, prop_coherent: bool = True) -> SolverState:
     cam = inputs.ref_cam
     H, W = inputs.ref_img.shape
     dmin, dmax = inputs.depth_min, inputs.depth_max
@@ -231,19 +239,26 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
 
     n_real = jnp.sum(inputs.view_mask)
 
-    def eval_ncc(planes_k):
+    def eval_ncc(planes_k, coherent=False):
         if packed:
             return ncc_ops.multiview_zncc_packed(
                 inputs.ref_img, inputs.src_imgs, vg, planes_k, params, off0,
-                origin=origin, n_views=n_real)
+                origin=origin, n_views=n_real, coherent_hyps=coherent)
         return ncc_ops.multiview_zncc(inputs.ref_img, inputs.src_imgs, vg,
                                       planes_k, params, origin=origin,
-                                      n_views=n_real)
+                                      n_views=n_real, coherent_hyps=coherent)
 
     # the 9th hypothesis (the current plane, ACMMP.cu:1060-1062) is NOT
     # re-evaluated: its per-view costs are carried in the state (bitwise
-    # identical to re-evaluation — same plane, same inputs)
-    ncc8 = eval_ncc(cand_planes)                               # [8,*g,V]
+    # identical to re-evaluation — same plane, same inputs).
+    # The 8 propagation candidates are neighbor pixels' planes — mutually
+    # coherent warp windows — so the kernel K-batches them per tile visit
+    # (measured 2.2x on the coherent stack, tools/ncc_microbench.py).
+    # Exceptions stay per-k: the first half-sweep after a RANDOM init
+    # (`prop_coherent=False`: candidates are random neighbors; the union
+    # window widens to the whole image and k_shared measures 1.4x slower)
+    # and the 5 refinement candidates (2 of 5 are per-pixel random planes).
+    ncc8 = eval_ncc(cand_planes, coherent=prop_coherent)       # [8,*g,V]
     ncc9 = jnp.concatenate([ncc8, pv_cur[None]], axis=0)       # [9,*g,V]
     geom9 = None
     if mode.geom_consistency:
@@ -468,7 +483,9 @@ def sweep_once(state: SolverState, inputs: SolverInputs, sweep_idx: int,
     black = (x.astype(jnp.int32) + y.astype(jnp.int32)) % 2 == 0
     parity = black if sweep_idx % 2 == 0 else ~black
     it = jnp.float32(sweep_idx // 2)
-    return _sweep(state, inputs, vg, x, y, parity, it, key, params, mode)
+    coh = not (sweep_idx == 0 and _random_init_mode(mode))
+    return _sweep(state, inputs, vg, x, y, parity, it, key, params, mode,
+                  prop_coherent=coh)
 
 
 def finalize(state: SolverState, inputs: SolverInputs,
@@ -513,20 +530,58 @@ def run_patchmatch(inputs: SolverInputs, key: jax.Array,
     state = _init_state(inputs, params, mode, k_init)
 
     black = (x.astype(jnp.int32) + y.astype(jnp.int32)) % 2 == 0
-    # scan over the 2*max_iterations half-sweeps so the (large) sweep body is
-    # traced and compiled exactly once
+    # scan over the 2*max_iterations half-sweeps so the (large) sweep body
+    # is traced and compiled once. After a RANDOM init the first half-sweep
+    # is split out of the scan to run with prop_coherent=False (random
+    # candidates: the K-batched kernel's union window degrades, see _sweep)
+    # — the scan then covers the remaining coherent sweeps.
     n_sweeps = 2 * params.max_iterations
-    iters = jnp.asarray([s // 2 for s in range(n_sweeps)], jnp.float32)
-    parities = jnp.asarray([s % 2 for s in range(n_sweeps)], jnp.int32)
-    keys = jax.vmap(lambda s: jax.random.fold_in(k_sweeps, s))(jnp.arange(n_sweeps))
+    start = 0
+    if _random_init_mode(mode) and n_sweeps > 0:
+        state = _sweep(state, inputs, vg, x, y, black, jnp.float32(0.0),
+                       jax.random.fold_in(k_sweeps, 0), params, mode,
+                       prop_coherent=False)
+        start = 1
+    sweeps = list(range(start, n_sweeps))
+    if sweeps:
+        iters = jnp.asarray([s // 2 for s in sweeps], jnp.float32)
+        parities = jnp.asarray([s % 2 for s in sweeps], jnp.int32)
+        keys = jax.vmap(lambda s: jax.random.fold_in(k_sweeps, s))(
+            jnp.asarray(sweeps))
 
-    def body(st, xs):
-        it, par, k = xs
-        parity = jnp.where(par == 0, black, ~black)
-        return _sweep(st, inputs, vg, x, y, parity, it, k, params, mode), None
+        def body(st, xs):
+            it, par, k = xs
+            parity = jnp.where(par == 0, black, ~black)
+            return _sweep(st, inputs, vg, x, y, parity, it, k, params,
+                          mode), None
 
-    state, _ = jax.lax.scan(body, state, (iters, parities, keys))
+        state, _ = jax.lax.scan(body, state, (iters, parities, keys))
     return finalize(state, inputs, params)
+
+
+# The fused single-program solve is verified correct on XLA:TPU through
+# 1280x960 (1.23 Mpx) and produces deterministic garbage at 1600x1184
+# (tools/fused_fault_repro.py, 2026-08 v5e). The production dispatcher uses
+# fused at or below this bound (saves the ~12% staged per-stage dispatch
+# tax, docs/PERF.md) and staged above it. Re-verify with the repro tool
+# before raising.
+FUSED_MAX_PIXELS = 1280 * 960
+
+
+def run_patchmatch_auto(inputs: SolverInputs, key: jax.Array,
+                        params: PatchMatchParams, mode: Mode,
+                        _cache={}) -> SolverOutputs:
+    """Production dispatch: the fused single-program solve when the padded
+    image is within the fused path's verified-correct bound
+    (FUSED_MAX_PIXELS), the staged solve above it. Results are identical up
+    to XLA fusion-level float reassociation."""
+    H, W = inputs.ref_img.shape
+    if H * W > FUSED_MAX_PIXELS:
+        return run_patchmatch_staged(inputs, key, params=params, mode=mode)
+    if "fused" not in _cache:
+        _cache["fused"] = jax.jit(run_patchmatch,
+                                  static_argnames=("params", "mode"))
+    return _cache["fused"](inputs, key, params=params, mode=mode)
 
 
 def run_patchmatch_staged(inputs: SolverInputs, key: jax.Array,

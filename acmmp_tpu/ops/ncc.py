@@ -66,6 +66,11 @@ def multiview_zncc(
                              # full image (tile shards carry a row offset)
     n_views=None,            # dynamic true view count (padded slots skipped
                              # by the Pallas kernel; oracle masks downstream)
+    coherent_hyps=False,     # the K hypothesis fields are mutually coherent
+                             # (e.g. propagation candidates = neighbor
+                             # planes): the Pallas kernel then evaluates all
+                             # K per tile visit sharing the gathered source
+                             # chunks (k_shared, ops/pallas_ncc.py)
 ) -> jax.Array:
     """Per-view bilateral ZNCC costs for each plane hypothesis field.
 
@@ -82,12 +87,14 @@ def multiview_zncc(
     if use_pallas:
         from acmmp_tpu.ops.pallas_ncc import multiview_zncc_pallas
 
+        ks = coherent_hyps and params.ncc_kbatch_coherent and planes.ndim == 4
         if planes.ndim == 3:
             return multiview_zncc_pallas(
                 ref_img, src_imgs, vg, planes[None], params,
                 origin=origin, n_views=n_views)[0]
         return multiview_zncc_pallas(ref_img, src_imgs, vg, planes, params,
-                                     origin=origin, n_views=n_views)
+                                     origin=origin, n_views=n_views,
+                                     k_shared=ks)
 
     H, W = ref_img.shape
     x, y = geo.pixel_grid(H, W)
@@ -108,6 +115,7 @@ def multiview_zncc_packed(
     off0: jax.Array,         # active-parity row offset of local column 0
     origin=None,             # FULL-grid (y0, x0) of ref_img's top-left
     n_views=None,            # dynamic true view count
+    coherent_hyps=False,     # see multiview_zncc
 ) -> jax.Array:
     """`multiview_zncc` on a parity row-packed half grid (ops/parity.py):
     packed (i, j) is the full-grid pixel at local row 2i + (off0+j)%2.
@@ -120,13 +128,14 @@ def multiview_zncc_packed(
     if use_pallas:
         from acmmp_tpu.ops.pallas_ncc import multiview_zncc_pallas
 
+        ks = coherent_hyps and params.ncc_kbatch_coherent and planes.ndim == 4
         if planes.ndim == 3:
             return multiview_zncc_pallas(
                 ref_img, src_imgs, vg, planes[None], params,
                 origin=origin, row_pack_off=off0, n_views=n_views)[0]
         return multiview_zncc_pallas(ref_img, src_imgs, vg, planes, params,
                                      origin=origin, row_pack_off=off0,
-                                     n_views=n_views)
+                                     n_views=n_views, k_shared=ks)
 
     H, W = ref_img.shape
     x, y = geo.pixel_grid(H, W)

@@ -112,12 +112,25 @@ def multiview_zncc_pallas(
     planes: jax.Array,        # [K, H, W, 4] camera-frame plane hypotheses
     params: PatchMatchParams,
     force_bf16: bool = False,  # testing hook for the bf16 packed layout
+    force_two_phase=None,      # smoke-test hook: override the VMEM gate on
+                               # the two-phase row layout (None = auto)
+    force_all_resident=None,   # smoke-test hook: override the all-views-
+                               # resident VMEM gate (None = auto)
     origin=None,               # (y0, x0) scalar offset of the ref tile
     row_pack_off=None,         # parity row packing (ops/parity.py): planes
                                # are [K, H//2, W, 4] and packed (i, j) maps
                                # to local row 2i + (row_pack_off + j) % 2
     n_views=None,              # dynamic true view count (padded slots are
                                # skipped and written as cost_max)
+    k_shared: bool = False,    # evaluate all K hypotheses per (view, tile)
+                               # visit, sharing the gathered source chunks
+                               # (union scan window) — for MUTUALLY COHERENT
+                               # hypothesis stacks (checkerboard propagation
+                               # candidates are neighbor pixels' planes, so
+                               # their warp windows overlap almost entirely);
+                               # a random stack would widen the union to the
+                               # whole image and every k pays the widened
+                               # scan, so keep it off for exploration fields
 ) -> jax.Array:
     """Per-view bilateral ZNCC costs, [K, H, W, V] (or [K, H//2, W, V] when
     `row_pack_off` is given)."""
@@ -160,6 +173,8 @@ def multiview_zncc_pallas(
     PHASE = TILE_H // 2
     view_bytes = (Hs_p // R) * Ws_p * 4
     two_phase = 2 * view_bytes <= TWO_PHASE_MAX_BYTES
+    if force_two_phase is not None:
+        two_phase = bool(force_two_phase)
     if two_phase:
         src_dev = jnp.concatenate(
             [src_dev, jnp.concatenate(
@@ -167,6 +182,8 @@ def multiview_zncc_pallas(
                 axis=1)], axis=1)                  # [V, 2*n_words, Ws_p]
     n_phase = 2 if two_phase else 1
     all_resident = V * n_phase * view_bytes <= VMEM_RESIDENT_BYTES
+    if force_all_resident is not None:
+        all_resident = bool(force_all_resident)
 
     taps = ncc_ops.tap_weights_spatial(params)
     T = len(taps)
@@ -200,9 +217,18 @@ def multiview_zncc_pallas(
           else jnp.float32(V))
     org = jnp.stack([oy, ox, off, nv])
 
-    grid = (K, V, Hg // TILE_H, W // TILE_W)
     cost_max = params.cost_max
     min_var = params.min_var
+
+    if k_shared:
+        return _kshared_call(
+            A, B, swh, org, src_dev, mfield, w_taps, wr_taps, refsums,
+            taps=taps, K=K, V=V, Hg=Hg, W=W, Hs_p=Hs_p, Ws_p=Ws_p, R=R,
+            bw=bw, src_u8=src_u8, two_phase=two_phase, n_phase=n_phase,
+            all_resident=all_resident, row_packed=row_packed,
+            cost_max=cost_max, min_var=min_var, PHASE=PHASE)
+
+    grid = (K, V, Hg // TILE_H, W // TILE_W)
 
     def kernel(a_ref, b_ref, swh_ref, org_ref, src_ref, m_ref, w_ref, wr_ref,
                rs_ref, out_ref):
@@ -298,6 +324,14 @@ def multiview_zncc_pallas(
                 # leaves the start offset-in-chunk < PHASE — so a coherent
                 # tap span (<= 4 word-rows + straddle) fits one chunk.
                 n_words = Hs_p // R          # static, multiple of TILE_H
+                # the pl.multiple_of(ph_mem + cw, TILE_H) promise below is
+                # unchecked by the compiler; it holds only while n_words is
+                # a TILE_H multiple (guaranteed by _round_up(Hs, 8*R)).
+                # Fail loudly at trace time if padding/packing ever changes.
+                assert n_words % TILE_H == 0, (
+                    f"packed word-row count {n_words} must be a multiple of "
+                    f"{TILE_H}: the two-phase pl.multiple_of promise would "
+                    "be violated (silent miscompile on TPU)")
                 w_lo = yi_min // R
                 w_hi = jnp.minimum(yi_max + 1, Hs_p - 1) // R
                 if two_phase:
@@ -445,7 +479,7 @@ def multiview_zncc_pallas(
             cost = jnp.where(degenerate, cost_max, ncc)
             out_ref[0, 0] = jnp.where(in_bounds, cost, cost_max)
 
-    out = pl.pallas_call(
+    out = pl.pallas_call(  # noqa: C901
         kernel,
         grid=grid,
         in_specs=[
@@ -482,5 +516,306 @@ def multiview_zncc_pallas(
         out_shape=jax.ShapeDtypeStruct((K, V, Hg, W), jnp.float32),
     )(A, B, swh, org, src_dev, mfield, w_taps[None], wr_taps[None],
       refsums[None], )
+
+    return jnp.transpose(out, (0, 2, 3, 1))  # [K, H, W, V]
+
+
+def _kshared_call(A, B, swh, org, src_dev, mfield, w_taps, wr_taps, refsums,
+                  *, taps, K, V, Hg, W, Hs_p, Ws_p, R, bw, src_u8, two_phase,
+                  n_phase, all_resident, row_packed, cost_max, min_var,
+                  PHASE):
+    """K-batched variant of the ZNCC kernel: the grid drops the hypothesis
+    axis and one (view, tile) visit evaluates all K hypotheses, scanning the
+    UNION of their per-tap bboxes once — the chunk slices, row broadcasts
+    and loop trips are paid once per tap instead of once per (k, tap).
+
+    Correct for any stack; fast only when the K windows overlap (the 8
+    checkerboard-propagation candidates are neighbor pixels' planes,
+    ACMMP.cu:804-992 — their warped windows are nearly identical). The
+    per-(k, word-row) gathers and compare-selects are unchanged: each
+    (word, column) is still found in exactly one (chunk, pair) visit of the
+    union scan, so the masked-overwrite accumulation argument of the base
+    kernel holds per k."""
+    T = len(taps)
+
+    def kernel(a_ref, b_ref, swh_ref, org_ref, src_ref, m_ref, w_ref, wr_ref,
+               rs_ref, out_ref):
+        v = pl.program_id(0)
+        ti = pl.program_id(1)
+        tj = pl.program_id(2)
+
+        @pl.when(v.astype(jnp.float32) >= org_ref[3])
+        def _skip():
+            out_ref[:, 0] = jnp.full((K, TILE_H, TILE_W), cost_max,
+                                     jnp.float32)
+
+        @pl.when(v.astype(jnp.float32) < org_ref[3])
+        def _compute():
+            ii = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+                  + ti * TILE_H)
+            jj = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+                  + tj * TILE_W)
+            if row_packed:
+                rr = 2 * ii + (org_ref[2].astype(jnp.int32) + jj) % 2
+            else:
+                rr = ii
+            yy = rr.astype(jnp.float32) + org_ref[0]
+            xx = jj.astype(jnp.float32) + org_ref[1]
+
+            sw = swh_ref[v, 0]
+            sh = swh_ref[v, 1]
+            a00, a01, a02 = a_ref[v, 0, 0], a_ref[v, 0, 1], a_ref[v, 0, 2]
+            a10, a11, a12 = a_ref[v, 1, 0], a_ref[v, 1, 1], a_ref[v, 1, 2]
+            a20, a21, a22 = a_ref[v, 2, 0], a_ref[v, 2, 1], a_ref[v, 2, 2]
+            b0, b1, b2 = b_ref[v, 0], b_ref[v, 1], b_ref[v, 2]
+
+            # per-k hoisted rank-1 warp fields (see the base kernel)
+            px00 = [None] * K
+            py00 = [None] * K
+            pz00 = [None] * K
+            ux = [None] * K
+            uy = [None] * K
+            uz = [None] * K
+            tx = [None] * K
+            ty = [None] * K
+            tz = [None] * K
+            in_bounds = [None] * K
+            for k in range(K):
+                m0 = m_ref[k, 0]
+                m1 = m_ref[k, 1]
+                m2 = m_ref[k, 2]
+                iw = m_ref[k, 3]
+                m0i = m0 * iw
+                m1i = m1 * iw
+                mq00 = (m0 * xx + m1 * yy + m2) * iw
+                px00[k] = a00 * xx + a01 * yy + a02 - b0 * mq00
+                py00[k] = a10 * xx + a11 * yy + a12 - b1 * mq00
+                pz00[k] = a20 * xx + a21 * yy + a22 - b2 * mq00
+                ux[k] = a00 - b0 * m0i
+                uy[k] = a10 - b1 * m0i
+                uz[k] = a20 - b2 * m0i
+                tx[k] = a01 - b0 * m1i
+                ty[k] = a11 - b1 * m1i
+                tz[k] = a21 - b2 * m1i
+                cx = px00[k] / pz00[k]
+                cy = py00[k] / pz00[k]
+                in_bounds[k] = ((cx >= 0.0) & (cx < sw)
+                                & (cy >= 0.0) & (cy < sh))
+
+            sum_w = rs_ref[0, 0]
+            sum_ref = rs_ref[0, 1]
+            sum_ref_ref = rs_ref[0, 2]
+            zf = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            sum_src = [zf] * K
+            sum_src_src = [zf] * K
+            sum_ref_src = [zf] * K
+
+            n_words = Hs_p // R
+            assert n_words % TILE_H == 0, (
+                f"packed word-row count {n_words} must be a multiple of "
+                f"{TILE_H} (two-phase pl.multiple_of promise)")
+            last_col = Ws_p // TILE_W - 1
+
+            for t, (di, dj, _ws) in enumerate(taps):
+                fdi = jnp.float32(di)
+                fdj = jnp.float32(dj)
+                xi = [None] * K
+                yi = [None] * K
+                fx = [None] * K
+                fy = [None] * K
+                ymin = [None] * K
+                ymax = [None] * K
+                xmin = [None] * K
+                xmax = [None] * K
+                for k in range(K):
+                    px = px00[k] + fdi * ux[k] + fdj * tx[k]
+                    py = py00[k] + fdi * uy[k] + fdj * ty[k]
+                    pz = pz00[k] + fdi * uz[k] + fdj * tz[k]
+                    inv_pz = 1.0 / pz
+                    sx = jnp.clip(jnp.nan_to_num(px * inv_pz), 0.0,
+                                  Ws_p - 1.0)
+                    sy = jnp.clip(jnp.nan_to_num(py * inv_pz), 0.0,
+                                  Hs_p - 1.0)
+                    xf = jnp.floor(sx)
+                    yf = jnp.floor(sy)
+                    fx[k] = sx - xf
+                    fy[k] = sy - yf
+                    xi[k] = xf.astype(jnp.int32)
+                    yi[k] = yf.astype(jnp.int32)
+                    ymin[k] = jnp.min(yi[k])
+                    ymax[k] = jnp.max(yi[k])
+                    xmin[k] = jnp.min(xi[k])
+                    xmax[k] = jnp.max(xi[k])
+
+                # union scan bounds over all K hypotheses
+                uy_min = ymin[0]
+                uy_max = ymax[0]
+                ux_min = xmin[0]
+                ux_max = xmax[0]
+                for k in range(1, K):
+                    uy_min = jnp.minimum(uy_min, ymin[k])
+                    uy_max = jnp.maximum(uy_max, ymax[k])
+                    ux_min = jnp.minimum(ux_min, xmin[k])
+                    ux_max = jnp.maximum(ux_max, xmax[k])
+
+                w_lo = uy_min // R
+                w_hi = jnp.minimum(uy_max + 1, Hs_p - 1) // R
+                if two_phase:
+                    use_b = (w_lo % TILE_H) >= PHASE
+                    off = jnp.where(use_b, PHASE, 0)
+                    ph_mem = jnp.where(use_b, n_words, 0)
+                else:
+                    off = 0
+                    ph_mem = 0
+                c_lo = (w_lo - off) // TILE_H
+                n_rb = (w_hi - off) // TILE_H + 1 - c_lo
+                col_lo = ux_min // TILE_W
+                col_hi = jnp.minimum((ux_max + 1) // TILE_W, last_col)
+                n_cols = col_hi + 1 - col_lo
+                n_cp = (n_cols + 1) // 2
+
+                k0w = [yi[k] // R for k in range(K)]
+                k1w = [(yi[k] + 1) // R for k in range(K)]
+
+                def scan_body(i, carry, k0w=k0w, k1w=k1w, xi=xi,
+                              c_lo=c_lo, n_cp=n_cp, col_lo=col_lo,
+                              col_hi=col_hi, off=off, ph_mem=ph_mem):
+                    # carry: (W00, W01, W10, W11) each a K-tuple
+                    W00, W01, W10, W11 = (list(c) for c in carry)
+                    cw = (c_lo + i // n_cp) * TILE_H
+                    r0w = pl.multiple_of(ph_mem + cw, TILE_H)
+                    ca = col_lo + 2 * (i % n_cp)
+                    has_b = ca < col_hi
+                    cb = jnp.minimum(ca + 1, last_col)
+                    c0a = ca * TILE_W
+                    c0b = cb * TILE_W
+                    if all_resident:
+                        chA = src_ref[v, pl.ds(r0w, TILE_H),
+                                      pl.ds(c0a, TILE_W)]
+                        chB = src_ref[v, pl.ds(r0w, TILE_H),
+                                      pl.ds(c0b, TILE_W)]
+                    else:
+                        chA = src_ref[0, pl.ds(r0w, TILE_H),
+                                      pl.ds(c0a, TILE_W)]
+                        chB = src_ref[0, pl.ds(r0w, TILE_H),
+                                      pl.ds(c0b, TILE_W)]
+                    xlA = [xi[k] - c0a for k in range(K)]
+                    xlB = [xi[k] - c0b for k in range(K)]
+                    in0B = [(x >= 0) & (x < TILE_W) & has_b for x in xlB]
+                    in1B = [(x + 1 >= 0) & (x + 1 < TILE_W) & has_b
+                            for x in xlB]
+                    in0 = [((xlA[k] >= 0) & (xlA[k] < TILE_W)) | in0B[k]
+                           for k in range(K)]
+                    in1 = [((xlA[k] + 1 >= 0) & (xlA[k] + 1 < TILE_W))
+                           | in1B[k] for k in range(K)]
+                    xc0A = [jnp.clip(x, 0, TILE_W - 1) for x in xlA]
+                    xc1A = [jnp.clip(x + 1, 0, TILE_W - 1) for x in xlA]
+                    xc0B = [jnp.clip(x, 0, TILE_W - 1) for x in xlB]
+                    xc1B = [jnp.clip(x + 1, 0, TILE_W - 1) for x in xlB]
+                    k0rel = [k0w[k] - (off + cw) for k in range(K)]
+                    k1rel = [k1w[k] - (off + cw) for k in range(K)]
+                    for pr in range(TILE_H):
+                        # the row slice + broadcast is the shared work —
+                        # once per word-row for all K hypotheses
+                        rowA = jnp.broadcast_to(chA[pr:pr + 1, :],
+                                                (TILE_H, TILE_W))
+                        rowB = jnp.broadcast_to(chB[pr:pr + 1, :],
+                                                (TILE_H, TILE_W))
+                        for k in range(K):
+                            g0 = jnp.where(
+                                in0B[k],
+                                jnp.take_along_axis(rowB, xc0B[k], axis=1),
+                                jnp.take_along_axis(rowA, xc0A[k], axis=1))
+                            g1 = jnp.where(
+                                in1B[k],
+                                jnp.take_along_axis(rowB, xc1B[k], axis=1),
+                                jnp.take_along_axis(rowA, xc1A[k], axis=1))
+                            m0 = k0rel[k] == pr
+                            m1 = k1rel[k] == pr
+                            W00[k] = jnp.where(m0 & in0[k], g0, W00[k])
+                            W01[k] = jnp.where(m1 & in0[k], g0, W01[k])
+                            W10[k] = jnp.where(m0 & in1[k], g1, W10[k])
+                            W11[k] = jnp.where(m1 & in1[k], g1, W11[k])
+                    return (tuple(W00), tuple(W01), tuple(W10), tuple(W11))
+
+                zW = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+                zK = (zW,) * K
+                W00, W01, W10, W11 = jax.lax.fori_loop(
+                    0, n_rb * n_cp, scan_body, (zK, zK, zK, zK))
+
+                wt = w_ref[0, t]
+                wrt = wr_ref[0, t]
+                for k in range(K):
+                    s0 = (yi[k] & (R - 1)) * bw
+                    s1 = ((yi[k] + 1) & (R - 1)) * bw
+                    e00 = jax.lax.shift_right_logical(W00[k], s0)
+                    e01 = jax.lax.shift_right_logical(W01[k], s1)
+                    e10 = jax.lax.shift_right_logical(W10[k], s0)
+                    e11 = jax.lax.shift_right_logical(W11[k], s1)
+                    if src_u8:
+                        v00 = (e00 & 0xFF).astype(jnp.float32)
+                        v01 = (e01 & 0xFF).astype(jnp.float32)
+                        v10 = (e10 & 0xFF).astype(jnp.float32)
+                        v11 = (e11 & 0xFF).astype(jnp.float32)
+                    else:
+                        bc = lambda e: jax.lax.bitcast_convert_type(  # noqa: E731
+                            e << 16, jnp.float32)
+                        v00, v01, v10, v11 = bc(e00), bc(e01), bc(e10), bc(e11)
+                    a0 = 1.0 - fx[k]
+                    a1 = fx[k]
+                    val = ((1.0 - fy[k]) * (a0 * v00 + a1 * v10)
+                           + fy[k] * (a0 * v01 + a1 * v11))
+                    sum_src[k] = sum_src[k] + wt * val
+                    sum_src_src[k] = sum_src_src[k] + wt * val * val
+                    sum_ref_src[k] = sum_ref_src[k] + wrt * val
+
+            inv_sum_w = 1.0 / sum_w
+            mean_ref = sum_ref * inv_sum_w
+            var_ref = sum_ref_ref * inv_sum_w - mean_ref * mean_ref
+            for k in range(K):
+                mean_src = sum_src[k] * inv_sum_w
+                var_src = sum_src_src[k] * inv_sum_w - mean_src * mean_src
+                covar = sum_ref_src[k] * inv_sum_w - mean_ref * mean_src
+                denom = jnp.sqrt(jnp.maximum(var_ref * var_src, 1e-30))
+                ncc = jnp.clip(1.0 - covar / denom, 0.0, cost_max)
+                degenerate = (var_ref < min_var) | (var_src < min_var)
+                cost = jnp.where(degenerate, cost_max, ncc)
+                out_ref[k, 0] = jnp.where(in_bounds[k], cost, cost_max)
+
+    grid = (V, Hg // TILE_H, W // TILE_W)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # A [V,3,3]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # B [V,3]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # swh [V,2]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # origin/off/nv [4]
+            (pl.BlockSpec((V, n_phase * (Hs_p // R), Ws_p),
+                          lambda v, i, j: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+             if all_resident else
+             pl.BlockSpec((1, n_phase * (Hs_p // R), Ws_p),
+                          lambda v, i, j: (v, 0, 0),
+                          memory_space=pltpu.VMEM)),  # src block
+            pl.BlockSpec((K, 4, TILE_H, TILE_W),
+                         lambda v, i, j: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),   # all K m-field tiles
+            pl.BlockSpec((1, T, TILE_H, TILE_W),
+                         lambda v, i, j: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),   # w taps tile
+            pl.BlockSpec((1, T, TILE_H, TILE_W),
+                         lambda v, i, j: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),   # w*ref taps tile
+            pl.BlockSpec((1, 3, TILE_H, TILE_W),
+                         lambda v, i, j: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),   # ref sums tile
+        ],
+        out_specs=pl.BlockSpec((K, 1, TILE_H, TILE_W),
+                               lambda v, i, j: (0, v, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, V, Hg, W), jnp.float32),
+    )(A, B, swh, org, src_dev, mfield, w_taps[None], wr_taps[None],
+      refsums[None])
 
     return jnp.transpose(out, (0, 2, 3, 1))  # [K, H, W, V]

@@ -156,8 +156,12 @@ def _tile_solve_impl(inputs: SolverInputs, key, params, mode, mesh):
             )
             parity = black_e if s % 2 == 0 else ~black_e
             k = jax.random.fold_in(jax.random.fold_in(k_sweeps, s), idx)
+            from acmmp_tpu.engine.patchmatch import _random_init_mode
+
+            coh = not (s == 0 and _random_init_mode(mode))
             new_ext = _sweep(ext_state, ext_inputs, vg, x_e, y_e, parity,
-                             jnp.float32(s // 2), k, params, mode)
+                             jnp.float32(s // 2), k, params, mode,
+                             prop_coherent=coh)
             state = SolverState(
                 planes=new_ext.planes[HALO:HALO + rows],
                 costs=new_ext.costs[HALO:HALO + rows],

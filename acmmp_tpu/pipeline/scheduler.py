@@ -28,7 +28,7 @@ from acmmp_tpu.config import PipelineConfig, PatchMatchParams
 from acmmp_tpu.engine.fusion import run_fusion, run_prior_aware_fusion
 from acmmp_tpu.engine.inputs import build_solver_inputs
 from acmmp_tpu.engine.patchmatch import (
-    Mode, SolverOutputs, run_patchmatch_staged,
+    Mode, SolverOutputs, run_patchmatch_auto,
 )
 from acmmp_tpu.engine.priors import build_planar_prior
 from acmmp_tpu.io import read_dmb, write_dmb
@@ -42,9 +42,10 @@ from acmmp_tpu.utils.log import get_logger, profiled, stage_metrics
 
 log = get_logger("scheduler")
 
-# staged solve: each stage is its own jitted program (required on TPU at
-# large sizes — see run_patchmatch_staged docstring); state stays on device
-_solve = run_patchmatch_staged
+# size-gated dispatch: the fused single-program solve at or below its
+# verified-correct bound (FUSED_MAX_PIXELS, tools/fused_fault_repro.py),
+# staged above; state stays on device either way
+_solve = run_patchmatch_auto
 
 
 def generate_sample_list(dense_folder: str) -> List[Problem]:
@@ -124,6 +125,47 @@ class ViewLoader:
         else:
             self._scaled.move_to_end(key)
         return v
+
+
+def _mode_desc(geom: bool, hierarchy: bool, seeded: bool,
+               multi_geometry: bool) -> str:
+    return ("geom2" if geom and multi_geometry else "geom" if geom
+            else "hierarchy" if hierarchy
+            else "seeded" if seeded else "photometric")
+
+
+def _pass_marker_path(output_folder: str, rid: int, tag: int) -> str:
+    return os.path.join(result_dir(output_folder, rid),
+                        f".pass_{tag:03d}.json")
+
+
+def _pass_done(output_folder: str, rid: int, tag: int, size: int) -> bool:
+    """True when the (view, pass) solve already completed in a previous run
+    with the same schedule (marker written by _mark_pass_done). The size
+    check invalidates markers from a run with a different multi-scale
+    schedule. The reference binary always recomputes, but its harness
+    resumes from outputs on disk (evaluate_dtu_structure.py:42-60); this is
+    the stage-granular version SURVEY §5 commits to."""
+    import json
+
+    p = _pass_marker_path(output_folder, rid, tag)
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as f:
+            d = json.load(f)
+    except (OSError, ValueError):
+        return False
+    return d.get("size") == size
+
+
+def _mark_pass_done(output_folder: str, rid: int, tag: int, size: int,
+                    desc: str) -> None:
+    import json
+
+    p = _pass_marker_path(output_folder, rid, tag)
+    with open(p, "w") as f:
+        json.dump({"size": size, "pass": desc}, f)
 
 
 def _write_outputs(rdir: str, out: SolverOutputs, h: int, w: int,
@@ -293,6 +335,12 @@ def process_problem(
     """One (view, scale, mode) solve + optional planar-prior second solve
     (ProcessProblem, acmmp_definitions.cpp:245-403)."""
     params = cfg.patchmatch
+    if cfg.resume and _pass_done(output_folder,
+                                 problems[idx].ref_image_id, pass_tag,
+                                 problems[idx].cur_image_size):
+        log.info("resume: view %08d pass %d already done; skipping",
+                 problems[idx].ref_image_id, pass_tag)
+        return
     prep = _prepare_problem(
         dense_folder, output_folder, problems, idx, cfg, loader,
         geom_consistency=geom_consistency, hierarchy=hierarchy,
@@ -319,6 +367,10 @@ def process_problem(
 
     rdir = result_dir(output_folder, rid)
     _write_outputs(rdir, out, prep.h, prep.w, geom_consistency)
+    _mark_pass_done(output_folder, rid, pass_tag,
+                    prep.problem.cur_image_size,
+                    _mode_desc(geom_consistency, hierarchy, seeded,
+                               multi_geometry))
     stage_metrics(log, f"view {rid:08d}", out.depth[:prep.h, :prep.w],
                   out.cost[:prep.h, :prep.w])
 
@@ -353,6 +405,11 @@ def process_batch(
     depth bank is read and device_put once per pass."""
     params = cfg.patchmatch
     collective = solver.mesh is not None and geom_consistency
+    if cfg.resume:
+        indices = [i for i in indices
+                   if not _pass_done(output_folder,
+                                     problems[i].ref_image_id, pass_tag,
+                                     problems[i].cur_image_size)]
     preps = []
     for i in indices:
         p = _prepare_problem(
@@ -408,6 +465,10 @@ def process_batch(
             rid = pp.problem.ref_image_id
             _write_outputs(result_dir(output_folder, rid), out, pp.h, pp.w,
                            geom_consistency)
+            _mark_pass_done(output_folder, rid, pass_tag,
+                            pp.problem.cur_image_size,
+                            _mode_desc(geom_consistency, hierarchy, seeded,
+                                       multi_geometry))
             stage_metrics(log, f"view {rid:08d}", out.depth[:pp.h, :pp.w],
                           out.cost[:pp.h, :pp.w])
 
@@ -602,6 +663,12 @@ def run_pipeline(dense_folder: str, cfg: PipelineConfig, mesh=None) -> str:
         else:
             log.info("Starting JBU")
             for p in problems:
+                # on resume, a completed hierarchy solve (next pass, tag)
+                # must not have its depths.dmb re-clobbered by JBU of the
+                # coarse depths_geom.dmb — skip JBU for those views
+                if cfg.resume and _pass_done(output_folder, p.ref_image_id,
+                                             tag, p.cur_image_size):
+                    continue
                 joint_bilateral_upsampling(
                     dense_folder, output_folder, p, p.cur_image_size, cfg,
                     loader)

@@ -39,12 +39,12 @@ H2, W2 = 480, 640            # staged-path shape (>= 0.3 Mpx)
 REPS2 = 3
 
 
-def _inputs(width, height, params):
+def _inputs(width, height, params, n_views=V1):
     from acmmp_tpu.engine.inputs import build_solver_inputs
     from acmmp_tpu.utils.synth import textured_plane_scene
 
     images, cams, _ = textured_plane_scene(
-        n_views=V1, width=width, height=height, f=600.0 * width / 320.0,
+        n_views=n_views, width=width, height=height, f=600.0 * width / 320.0,
         plane_z=5.0)
     return build_solver_inputs(images[0], images[1:], cams[0], cams[1:],
                                params)
@@ -137,6 +137,56 @@ def main():
             inputs2, jax.random.fold_in(k, i), params=params, mode=mode))
     extra[f"staged_{W2}x{H2}_maps_per_s"] = round(
         REPS2 / (time.perf_counter() - t0), 4)
+
+    # --- DTU operating point: the reference's finest scale is ~1600x1184
+    # (max dim 3200 capped, halved once to >= the 1000 size bound,
+    # /root/reference/src/acmmp_definitions.cpp:207-243) with up to ~8-20
+    # source views. Staged path (fused is gated off above 1280x960 —
+    # engine/patchmatch.py FUSED_MAX_PIXELS); exercises the
+    # one-view-resident + single-phase kernel layout. ---
+    HD, WD, VD = 1184, 1600, 9          # 1 ref + 8 src
+    inputs_d = _inputs(WD, HD, params, n_views=VD)
+    kd = jax.random.key(9)
+    out_d = run_patchmatch_staged(inputs_d, kd, params=params, mode=mode)
+    jax.block_until_ready(out_d)
+    t0 = time.perf_counter()
+    for i in range(2):
+        out_d = run_patchmatch_staged(
+            inputs_d, jax.random.fold_in(kd, i), params=params, mode=mode)
+        jax.block_until_ready(out_d)
+    extra["staged_1600x1184_v8_maps_per_s"] = round(
+        2 / (time.perf_counter() - t0), 4)
+
+    # --- fusion per-view program at the DTU scale: project 1.9 Mpx into 8
+    # source views, sample depth+normal maps (Pallas coherent sampler),
+    # threshold + score + consume (engine/fusion.py _fuse_view_plain) ---
+    from acmmp_tpu.config import FusionParams
+    from acmmp_tpu.engine.fusion import _fuse_view_plain_jit
+
+    fp = FusionParams()
+    Hs, Ws = inputs_d.src_imgs.shape[-2:]
+    Hd, Wd = inputs_d.ref_img.shape
+    depth_d = out_d.depth
+    normal_d = out_d.normal_world
+    src_depths = jnp.broadcast_to(
+        jnp.pad(depth_d, ((0, Hs - Hd), (0, Ws - Wd)), mode="edge"),
+        (VD - 1, Hs, Ws))
+    src_normals = jnp.broadcast_to(
+        jnp.pad(normal_d, ((0, Hs - Hd), (0, Ws - Wd), (0, 0)),
+                mode="edge"), (VD - 1, Hs, Ws, 3))
+    fuse_kw = dict(
+        ref_depth=depth_d, ref_normal=normal_d,
+        ref_mask=jnp.zeros((Hd, Wd), jnp.bool_),
+        ref_cam=inputs_d.ref_cam, src_cams=inputs_d.src_cams,
+        src_depths=src_depths, src_normals=src_normals,
+        src_masks=jnp.zeros((VD - 1, Hs, Ws), jnp.bool_),
+        view_mask=inputs_d.view_mask)
+    jax.block_until_ready(_fuse_view_plain_jit(fp=fp, **fuse_kw))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        jax.block_until_ready(_fuse_view_plain_jit(fp=fp, **fuse_kw))
+    extra["fusion_view_1600x1184_v8_ms"] = round(
+        (time.perf_counter() - t0) / 3 * 1e3, 2)
 
     # --- geometric-consistency mode (staged) ---
     from acmmp_tpu.engine.patchmatch import SolverOutputs  # noqa: F401

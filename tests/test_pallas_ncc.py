@@ -124,6 +124,40 @@ def test_single_phase_fallback_matches_two_phase(monkeypatch):
     np.testing.assert_array_equal(np.asarray(two), np.asarray(one))
 
 
+def test_k_shared_matches_per_k():
+    """The K-batched tile-visit variant (k_shared: union scan window,
+    shared gathered chunks) must be bitwise-equal to the per-k grid for
+    any stack — coherent, random, packed, and with padded view slots."""
+    from acmmp_tpu.ops import parity
+
+    inputs, vg, x, y, plane_z = _setup(height=32)
+    n = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), x.shape + (3,))
+    n_cam = geo.normal_world_to_cam(inputs.ref_cam, n)
+    p_true = geo.plane_from_depth_normal(
+        inputs.ref_cam, x, y, jnp.full(x.shape, plane_z), n_cam)
+    p_rand = samp_ops.random_plane(jax.random.key(7), inputs.ref_cam, x, y,
+                                   inputs.depth_min, inputs.depth_max)
+    planes = jnp.stack([p_true, p_rand, p_true])
+    pm = ((x.astype(jnp.int32) + y.astype(jnp.int32)) % 2) == 0
+    off0 = parity.row_pack_offset(pm)
+    planes_pk = parity.pack_rows_c(planes, off0)
+
+    with pltpu.force_tpu_interpret_mode():
+        cases = [
+            (dict(), dict()),
+            (dict(row_pack_off=off0), dict(row_pack_off=off0)),
+            (dict(n_views=jnp.int32(1)), dict(n_views=jnp.int32(1))),
+        ]
+        for kw_base, kw_ks in cases:
+            p = planes_pk if "row_pack_off" in kw_base else planes
+            base = multiview_zncc_pallas(
+                inputs.ref_img, inputs.src_imgs, vg, p, PARAMS, **kw_base)
+            ksh = multiview_zncc_pallas(
+                inputs.ref_img, inputs.src_imgs, vg, p, PARAMS,
+                k_shared=True, **kw_ks)
+            np.testing.assert_array_equal(np.asarray(base), np.asarray(ksh))
+
+
 def test_packed_matches_full():
     """Parity row-packed evaluation (kernel + oracle) must equal the packed
     rows of the full-grid result."""

@@ -61,6 +61,52 @@ def test_full_pipeline_synthetic(tmp_path):
 
 
 @pytest.mark.slow
+def test_pipeline_stage_resume(tmp_path):
+    """--resume: a re-run skips every completed (view, pass) solve (pass
+    markers next to the .dmb outputs) and recomputes exactly the missing
+    ones. Reference analog: the harness's output-existence resume,
+    evaluate_dtu_structure.py:42-60."""
+    import dataclasses
+    import glob
+
+    images, cams, plane_z = textured_plane_scene(n_views=4, width=64,
+                                                 height=48)
+    dense = write_dense_folder(tmp_path, images, cams)
+    cfg = PipelineConfig(
+        patchmatch=PatchMatchParams(patch_size=7),
+        fusion=FusionParams(num_consistent_thresh=2),
+        pad_h=1, pad_w=1,
+    )
+    run_pipeline(dense, cfg)
+    out = os.path.join(dense, "ACMMP")
+    markers = glob.glob(os.path.join(out, "2333_*", ".pass_*.json"))
+    # 1 scale x (photometric + 2 geometric) passes x 4 views
+    assert len(markers) == 12, markers
+
+    def mtimes():
+        return {p: os.stat(p).st_mtime_ns for p in glob.glob(
+            os.path.join(out, "2333_*", "*.dmb"))}
+
+    before = mtimes()
+    cfg_r = dataclasses.replace(cfg, resume=True)
+    ply = run_pipeline(dense, cfg_r)
+    assert os.path.exists(ply)
+    assert mtimes() == before, "resume must not recompute completed solves"
+
+    # drop one view's final-pass marker: only that solve re-runs
+    victim = os.path.join(out, "2333_00000001")
+    tags = sorted(glob.glob(os.path.join(victim, ".pass_*.json")))
+    os.remove(tags[-1])
+    run_pipeline(dense, cfg_r)
+    after = mtimes()
+    changed = {p for p in before if after[p] != before[p]}
+    assert changed == {os.path.join(victim, f)
+                       for f in ("depths_geom.dmb", "normals.dmb",
+                                 "costs.dmb")}, changed
+    assert os.path.exists(tags[-1])
+
+
+@pytest.mark.slow
 def test_full_pipeline_batched_mesh(tmp_path):
     """Batched executor with view sharding over the virtual mesh must match
     the sequential pipeline's quality."""

@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--k", type=int, default=9)
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--packed", type=int, default=1)
+    ap.add_argument("--k_shared", type=int, default=0,
+                    help="K-batched tile visits (union scan window)")
     ap.add_argument("--workload", default="both",
                     choices=["coherent", "random", "both"])
     args = ap.parse_args()
@@ -93,7 +95,7 @@ def main():
         def body(c, p):
             out = multiview_zncc_pallas(
                 inputs.ref_img, inputs.src_imgs, vg, p, params,
-                row_pack_off=off0)
+                row_pack_off=off0, k_shared=bool(args.k_shared))
             return c + jnp.mean(out), None
         tot, _ = jax.lax.scan(body, jnp.float32(0.0), planes_stack)
         return tot
