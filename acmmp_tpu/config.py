@@ -98,6 +98,15 @@ class PatchMatchParams:
     # tile) visit sharing the gathered source chunks over the union scan
     # window (ops/pallas_ncc.py k_shared). Bitwise-equal to the per-k grid.
     ncc_kbatch_coherent: bool = True
+    # Split the 5-candidate refinement stack (PlaneHypothesisRefinement,
+    # ACMMP.cu:739-741) into two internally-coherent K-batched calls:
+    # {(d_now, n_rand), (d_now, n_pert), (d_pert, n_now)} share the
+    # incumbent depth and {(d_rand, n_now), (d_rand, n_rand)} share the
+    # SAME per-pixel random depth — within each stack the center warps
+    # are identical per pixel, so the union scan window is ~each
+    # member's own window and the shared tile visit pays the chunk
+    # slice/broadcast/loop trips once per stack instead of once per k.
+    ncc_kbatch_refine: bool = True
 
     # --- deviations from the reference (documented in DEVIATIONS.md) ---
     # The reference's right_far strip selects the MAX-cost member due to a
@@ -167,6 +176,14 @@ class PipelineConfig:
     # (acmmp_definitions.cpp:1035-1038) and triangulation.png from the
     # planar-prior triangulation (:329)
     debug_images: bool = False
+    # image-domain (tile) sharding: on a mesh, a view whose TRUE pixel
+    # count exceeds this is solved with its image rows sharded over the
+    # mesh and 24-row halo exchange per half-sweep (parallel/tiles.py;
+    # stencil extent src/ACMMP.cu:819-827) instead of occupying a single
+    # chip's view slot. 0 disables. The default admits the reference's
+    # 3200-capped full-resolution views (~7.6 Mpx) while keeping DTU's
+    # ~1.9 Mpx finest scale on the (cheaper) view-parallel path.
+    tile_pixels: int = 4_000_000
     # fusion host-memory bound: keep at most this many views' heavy arrays
     # (image/depth/normal) resident during fusion, loading lazily with LRU
     # eviction; 0 = load all views up front (the reference's behavior,

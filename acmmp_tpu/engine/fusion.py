@@ -337,9 +337,11 @@ def _collect_accepted(i, rv, src_ids, views, accept, Xw, normal, consumed,
         # whole evicted view's arrays just to OR its consumption mask
         m = mask_of(s) if mask_of is not None else views[s].mask
         m |= consumed[j][:m.shape[0], :m.shape[1]]
+    from acmmp_tpu.parallel import multihost as mh
+
     if progress is not None:
         progress(i, int(np.sum(accept)))
-    if debug_dir is not None:
+    if debug_dir is not None and mh.is_primary():
         from PIL import Image as PILImage
 
         os.makedirs(debug_dir, exist_ok=True)
@@ -489,14 +491,26 @@ def _fuse_group_sharded(mesh, asm, prior_aware, single_match_penalty, fp):
                 x = padref(x)
             arrs.append(x)
         arrs += [arrs[-1]] * (g_pad - g)
-        stacked[k] = jnp.asarray(np.stack(arrs))
+        stacked[k] = np.stack(arrs)
     cam_stack = jax.tree.map(
-        lambda *xs: jnp.stack(list(xs) + [xs[-1]] * (g_pad - g)),
+        lambda *xs: np.stack([np.asarray(x) for x in xs]
+                             + [np.asarray(xs[-1])] * (g_pad - g)),
         *[a[4] for a in asm])
 
-    res = jax.tree.map(np.asarray,
+    # multi-process safe placement + fetch: the stacked group is sharded
+    # over the view axis from each process's host copy, and the parts come
+    # back to every host (each process replays the same greedy chain and
+    # collects identical points; file writes are process-0-gated)
+    from jax.sharding import PartitionSpec as P
+
+    from acmmp_tpu.parallel import multihost as mh
+    from acmmp_tpu.parallel.sharding import VIEW_AXIS
+
+    place = lambda x: mh.host_to_global(mesh, P(VIEW_AXIS), x)  # noqa: E731
+    res = jax.tree.map(mh.global_to_host,
                        _group_parts_fn(mesh, prior_aware, fp)(
-                           stacked, cam_stack))
+                           jax.tree.map(place, stacked),
+                           jax.tree.map(place, cam_stack)))
 
     # host-side greedy chain: delta[s] = source pixels consumed by EARLIER
     # members of this group (pre-group consumption is already in the masks
@@ -684,8 +698,18 @@ def run_fusion(dense_folder: str, out_folder: str, problems: Sequence[Problem],
     pts, nrm, col = fuse_views(views, problems, fp, progress=progress,
                                mesh=mesh, debug_dir=debug_dir)
     ply_path = os.path.join(out_folder, ply_name)
-    write_ply(ply_path, pts, nrm, col)
+    _write_ply_primary(ply_path, pts, nrm, col)
     return ply_path
+
+
+def _write_ply_primary(ply_path, pts, nrm, col):
+    """Multi-process: every process holds identical fused points (the parts
+    are allgathered); exactly one writes the shared PLY, everyone waits."""
+    from acmmp_tpu.parallel import multihost as mh
+
+    if mh.is_primary():
+        write_ply(ply_path, pts, nrm, col)
+    mh.barrier("fusion_ply")
 
 
 def run_prior_aware_fusion(dense_folder: str, out_folder: str,
@@ -708,5 +732,5 @@ def run_prior_aware_fusion(dense_folder: str, out_folder: str,
                                progress=progress, mesh=mesh,
                                debug_dir=debug_dir)
     ply_path = os.path.join(out_folder, ply_name)
-    write_ply(ply_path, pts, nrm, col)
+    _write_ply_primary(ply_path, pts, nrm, col)
     return ply_path

@@ -11,9 +11,13 @@ analog of sequence parallelism (SURVEY.md §2.3). Halos move with
 `lax.ppermute` over the mesh axis (nearest ICI neighbors); source images
 are replicated (read-only texture state).
 
-Scope: photometric and geometric-consistency modes (the planar-prior /
-seeded modes run view-sharded instead — their host-side triangulation is
-per-view anyway).
+Covers every solver mode: the mode-specific inputs (init depth/normal/
+cost re-entry fields, triangulated prior planes + mask, seeded planes,
+hierarchy pre-costs) are all per-pixel ROW fields — they shard with the
+image rows, and the sweep reads them only at the pixel itself (neighbor
+reads come solely from planes/costs/selected, which get halos), so zero
+halos are correct for them. Host-side work (triangulation, prior PNG
+decode) stays per-view in the scheduler and feeds the sharded solve.
 """
 
 from __future__ import annotations
@@ -71,19 +75,18 @@ def _tile_solve_impl(inputs: SolverInputs, key, params, mode, mesh):
     H, W = inputs.ref_img.shape
     Pn = mesh.devices.size
 
-    zero_hw = jnp.zeros((H, W), jnp.float32)
-    init_d = inputs.init_depth if inputs.init_depth is not None else zero_hw
-    init_n = (inputs.init_normal_world
-              if inputs.init_normal_world is not None
-              else jnp.zeros((H, W, 3), jnp.float32))
-    init_c = inputs.init_cost if inputs.init_cost is not None else zero_hw
-    # replicated operands (everything that is not a per-pixel row field)
-    repl = inputs._replace(ref_img=None, init_depth=None,
-                           init_normal_world=None, init_cost=None,
-                           prior_planes=None, prior_mask=None,
-                           seed_planes=None, pre_costs=None)
+    # per-pixel ROW fields shard with the image rows; everything else
+    # (source images/cams/depths, scalars) is replicated read-only state
+    row_field_names = ("ref_img", "init_depth", "init_normal_world",
+                       "init_cost", "prior_planes", "prior_mask",
+                       "seed_planes", "pre_costs")
+    rows_in = SolverInputs(**{
+        f: (getattr(inputs, f) if f in row_field_names else None)
+        for f in SolverInputs._fields})
+    repl = inputs._replace(**{f: None for f in row_field_names})
 
-    def local_solve(repl, ref_rows, init_d, init_n, init_c, key):
+    def local_solve(repl, rows_in, key):
+        ref_rows = rows_in.ref_img
         rows = ref_rows.shape[0]
         idx = jax.lax.axis_index(TILE_AXIS)
         y0 = (idx * rows).astype(jnp.float32)
@@ -92,15 +95,35 @@ def _tile_solve_impl(inputs: SolverInputs, key, params, mode, mesh):
         cam = repl.ref_cam
         vg = ncc_ops.make_view_geometry(cam, repl.src_cams)
 
-        # ---- init on local rows ----
+        # ---- init on local rows (the four branches of _init_state,
+        # engine/patchmatch.py, with tile-origin pixel grids) ----
         from acmmp_tpu.ops import sampling as samp_ops
 
         k_init, k_sweeps = jax.random.split(key)
         k_init = jax.random.fold_in(k_init, idx)
-        if mode.geom_consistency:
-            n_cam = geo.normal_world_to_cam(cam, init_n)
-            planes0 = geo.plane_from_depth_normal(cam, x_l, y_l, init_d,
-                                                  n_cam)
+        if mode.seeded:
+            planes0 = rows_in.seed_planes
+        elif mode.planar_prior:
+            # perturb around the triangulated prior where one exists and
+            # the converged fit is still poor (ACMMP.cu:640-661)
+            n_cam = geo.normal_world_to_cam(cam, rows_in.init_normal_world)
+            keep = geo.plane_from_depth_normal(cam, x_l, y_l,
+                                               rows_in.init_depth, n_cam)
+            kd, kn = jax.random.split(k_init)
+            p3 = 3.0 * params.prior_init_perturbation
+            w0 = rows_in.prior_planes[..., 3]
+            u = jax.random.uniform(kd, (rows, W), dtype=jnp.float32) * 2.0 - 1.0
+            w_pert = w0 * (1.0 + p3 * u)
+            n_pert = samp_ops.perturbed_normal(
+                kn, cam, x_l, y_l, rows_in.prior_planes[..., :3],
+                p3 * jnp.pi)
+            pert = jnp.concatenate([n_pert, w_pert[..., None]], axis=-1)
+            use_prior = rows_in.prior_mask & (rows_in.init_cost >= 0.1)
+            planes0 = jnp.where(use_prior[..., None], pert, keep)
+        elif mode.geom_consistency or mode.hierarchy:
+            n_cam = geo.normal_world_to_cam(cam, rows_in.init_normal_world)
+            planes0 = geo.plane_from_depth_normal(
+                cam, x_l, y_l, rows_in.init_depth, n_cam)
         else:
             planes0 = samp_ops.random_plane(
                 k_init, cam, x_l, y_l, repl.depth_min, repl.depth_max)
@@ -127,8 +150,10 @@ def _tile_solve_impl(inputs: SolverInputs, key, params, mode, mesh):
             geom_pv0 = geom_consistency_cost(
                 cam, repl.src_cams, repl.src_depths, planes0[None], x_l, y_l,
                 params)[0]
+        pre0 = (costs0 if rows_in.pre_costs is None
+                else rows_in.pre_costs)
         state = SolverState(planes=planes0, costs=costs0, selected=selected0,
-                            pre_costs=costs0, ncc_pv=per_view,
+                            pre_costs=pre0, ncc_pv=per_view,
                             geom_pv=geom_pv0)
 
         # ---- sweeps on the halo-extended tile ----
@@ -136,7 +161,19 @@ def _tile_solve_impl(inputs: SolverInputs, key, params, mode, mesh):
         y_e = (jax.lax.broadcasted_iota(jnp.float32, (rows + 2 * HALO, W), 0)
                + y0 - HALO)
         black_e = (x_e.astype(jnp.int32) + y_e.astype(jnp.int32)) % 2 == 0
-        ext_inputs = repl._replace(ref_img=ref_e0)
+        # prior fields are read only at the pixel itself inside the sweep
+        # (the restricted score / refinement sampling), so zero halos are
+        # correct — halo-row outputs are sliced away below
+        def _zext(a, fill):
+            if a is None:
+                return None
+            halo = jnp.full((HALO,) + a.shape[1:], fill, a.dtype)
+            return jnp.concatenate([halo, a, halo], axis=0)
+
+        ext_inputs = repl._replace(
+            ref_img=ref_e0,
+            prior_planes=_zext(rows_in.prior_planes, 0),
+            prior_mask=_zext(rows_in.prior_mask, False))
 
         for s in range(2 * params.max_iterations):
             pt, pb = _exchange_halos(state.planes, Pn)
@@ -189,14 +226,14 @@ def _tile_solve_impl(inputs: SolverInputs, key, params, mode, mesh):
 
     rows_spec = P(TILE_AXIS)
     repl_specs = jax.tree.map(lambda _: P(), repl)
+    rows_specs = jax.tree.map(lambda _: rows_spec, rows_in)
     out_specs = SolverOutputs(depth=rows_spec, normal_world=rows_spec,
                               cost=rows_spec, pre_costs=rows_spec)
     fn = shard_map(
         local_solve, mesh=mesh,
-        in_specs=(repl_specs, rows_spec, rows_spec, rows_spec, rows_spec,
-                  P()),
+        in_specs=(repl_specs, rows_specs, P()),
         out_specs=out_specs, check_rep=False)
-    return fn(repl, inputs.ref_img, init_d, init_n, init_c, key)
+    return fn(repl, rows_in, key)
 
 
 def tile_sharded_patchmatch(
@@ -207,12 +244,11 @@ def tile_sharded_patchmatch(
     mode: Mode,
 ) -> SolverOutputs:
     """Full PatchMatch solve for ONE view with the image rows sharded over
-    the mesh. H must be divisible by 8 * mesh size. Matches run_patchmatch
-    up to RNG stream (keys fold in the shard index) and the zero halos at
-    the outer image edges (masked by the true-bounds checks)."""
-    assert not (mode.planar_prior or mode.seeded or mode.hierarchy), (
-        "tile sharding covers photometric/geometric modes; others run "
-        "view-sharded")
+    the mesh — every solver mode (photometric, geometric, hierarchy,
+    planar-prior, seeded). H must be divisible by 8 * mesh size. Matches
+    run_patchmatch up to RNG stream (keys fold in the shard index) and the
+    zero halos at the outer image edges (masked by the true-bounds
+    checks)."""
     H, W = inputs.ref_img.shape
     Pn = mesh.devices.size
     assert H % (8 * Pn) == 0, (H, Pn)

@@ -100,7 +100,12 @@ class BatchedSolver:
     def solve_batch(self, inputs_list: Sequence[SolverInputs],
                     keys: Sequence[jax.Array], mode: Mode) -> List[SolverOutputs]:
         """Solve a batch of same-shape problems; returns per-view outputs
-        (padding replicas dropped)."""
+        (padding replicas dropped). Multi-process (one JAX process per
+        host): inputs are placed as globally-sharded arrays from each
+        process's host copy and outputs are allgathered back to every
+        host (parallel/multihost.py)."""
+        from acmmp_tpu.parallel import multihost as mh
+
         n = len(inputs_list)
         np_ = self.pad(n)
         padded = list(inputs_list) + [inputs_list[-1]] * (np_ - n)
@@ -115,10 +120,23 @@ class BatchedSolver:
         # reproducibility contract)
         ks2 = jax.vmap(jax.random.split)(kb)               # [B, 2]
         k_init, k_sweeps = ks2[:, 0], ks2[:, 1]
+        n_sweeps = 2 * self.params.max_iterations
+        sweep_keys = [jax.vmap(lambda k: jax.random.fold_in(k, s))(k_sweeps)
+                      for s in range(n_sweeps)]
+
+        multiproc = self.mesh is not None and mh.is_multiprocess()
+        if multiproc:
+            spec = P(VIEW_AXIS)
+            batch = jax.tree.map(
+                lambda x: mh.host_to_global(self.mesh, spec, x), batch)
+            k_init = mh.keys_to_global(self.mesh, spec, k_init)
+            sweep_keys = [mh.keys_to_global(self.mesh, spec, k)
+                          for k in sweep_keys]
+
         state = f_init(batch, k_init)
-        for s in range(2 * self.params.max_iterations):
-            ks = jax.vmap(lambda k: jax.random.fold_in(k, s))(k_sweeps)
-            state = f_sweep(state, batch, ks, sweep_idx=s)
+        for s in range(n_sweeps):
+            state = f_sweep(state, batch, sweep_keys[s], sweep_idx=s)
         out = f_fin(state, batch)
-        out = jax.tree.map(np.asarray, out)
+        out = jax.tree.map(mh.global_to_host if multiproc else np.asarray,
+                           out)
         return [jax.tree.map(lambda a: a[i], out) for i in range(n)]

@@ -38,6 +38,7 @@ from acmmp_tpu.io.dense_folder import (
 )
 from acmmp_tpu.io.priors import load_seed_planes, priors_available
 from acmmp_tpu.ops.jbu import jbu_depth_jit, jbu_normal_cost
+from acmmp_tpu.parallel import tiles as tile_ops
 from acmmp_tpu.utils.log import get_logger, profiled, stage_metrics
 
 log = get_logger("scheduler")
@@ -163,6 +164,10 @@ def _mark_pass_done(output_folder: str, rid: int, tag: int, size: int,
                     desc: str) -> None:
     import json
 
+    from acmmp_tpu.parallel import multihost as mh
+
+    if not mh.is_primary():
+        return
     p = _pass_marker_path(output_folder, rid, tag)
     with open(p, "w") as f:
         json.dump({"size": size, "pass": desc}, f)
@@ -170,6 +175,12 @@ def _mark_pass_done(output_folder: str, rid: int, tag: int, size: int,
 
 def _write_outputs(rdir: str, out: SolverOutputs, h: int, w: int,
                    geom: bool) -> None:
+    from acmmp_tpu.parallel import multihost as mh
+
+    if not mh.is_primary():
+        # multi-process: every process computes identical outputs (they are
+        # allgathered); only one may write the shared checkpoint files
+        return
     os.makedirs(rdir, exist_ok=True)
     depth = np.asarray(out.depth)[:h, :w]
     normal = np.asarray(out.normal_world)[:h, :w]
@@ -182,7 +193,8 @@ def _write_outputs(rdir: str, out: SolverOutputs, h: int, w: int,
 class _Prepared:
     """Host-side loaded inputs of one (view, scale, mode) solve."""
 
-    def __init__(self, problem, ref, srcs, inputs, h, w, v_pad, src_depths):
+    def __init__(self, problem, ref, srcs, inputs, h, w, v_pad, src_depths,
+                 tiled=False, pad_h=8):
         self.problem = problem
         self.ref = ref
         self.srcs = srcs
@@ -191,12 +203,28 @@ class _Prepared:
         self.w = w
         self.v_pad = v_pad
         self.src_depths = src_depths
+        self.tiled = tiled        # solve with image rows sharded (tiles.py)
+        self.pad_h = pad_h        # effective row padding used for inputs
+
+
+def _tile_plan(cfg, h: int, w: int, tile_devices: int):
+    """(tiled, pad_h) for a view of true size (h, w): rows-sharded when a
+    mesh is present, the view exceeds cfg.tile_pixels, and every shard
+    gets at least the 24-row halo reach (parallel/tiles.py)."""
+    if tile_devices < 2 or not cfg.tile_pixels or h * w <= cfg.tile_pixels:
+        return False, cfg.pad_h
+    m = 8 * tile_devices
+    pad_h = m * max(1, (cfg.pad_h + m - 1) // m)
+    hp = ((h + pad_h - 1) // pad_h) * pad_h
+    if hp // tile_devices < tile_ops.HALO:
+        return False, cfg.pad_h   # shards would be thinner than the halo
+    return True, pad_h
 
 
 def _prepare_problem(
     dense_folder, output_folder, problems, idx, cfg, loader,
     *, geom_consistency, hierarchy, multi_geometry, seeded,
-    skip_src_depth_files=False,
+    skip_src_depth_files=False, tile_devices=0,
 ):
     """Disk -> SolverInputs for one problem (InputInitialization,
     src/ACMMP.cpp:525-636). Returns None for skipped (sourceless) views.
@@ -223,6 +251,7 @@ def _prepare_problem(
     ]
     h, w = ref.image.shape
     v_pad = max(len(p.src_image_ids) for p in problems)
+    tiled, pad_h = _tile_plan(cfg, h, w, tile_devices)
 
     kw = {}
     suffix = "depths_geom.dmb" if multi_geometry else "depths.dmb"
@@ -261,10 +290,10 @@ def _prepare_problem(
 
     inputs = build_solver_inputs(
         ref.image, [s.image for s in srcs], ref.cam, [s.cam for s in srcs],
-        params, num_views_pad=v_pad, pad_h=cfg.pad_h, pad_w=cfg.pad_w, **kw,
+        params, num_views_pad=v_pad, pad_h=pad_h, pad_w=cfg.pad_w, **kw,
     )
     return _Prepared(problem, ref, srcs, inputs, h, w, v_pad,
-                     kw.get("src_depths"))
+                     kw.get("src_depths"), tiled=tiled, pad_h=pad_h)
 
 
 def _prior_second_solve_inputs(prep: _Prepared, out, cfg, hierarchy,
@@ -282,7 +311,9 @@ def _prior_second_solve_inputs(prep: _Prepared, out, cfg, hierarchy,
     prior_planes, prior_mask = build_planar_prior(
         ref.cam, out.depth[:h, :w], out.cost[:h, :w], dmin, dmax, w, h,
     )
-    if cfg.debug_images and rdir is not None:
+    from acmmp_tpu.parallel import multihost as mh
+
+    if cfg.debug_images and rdir is not None and mh.is_primary():
         # triangulation debug image (the reference writes triangulation.png
         # per view, acmmp_definitions.cpp:329): white = pixels covered by a
         # valid triangulated prior plane
@@ -298,7 +329,7 @@ def _prior_second_solve_inputs(prep: _Prepared, out, cfg, hierarchy,
     inputs2 = build_solver_inputs(
         ref.image, [s.image for s in prep.srcs], ref.cam,
         [s.cam for s in prep.srcs], params, num_views_pad=prep.v_pad,
-        pad_h=cfg.pad_h, pad_w=cfg.pad_w,
+        pad_h=prep.pad_h, pad_w=cfg.pad_w,
         init_depth=out.depth, init_normal_world=out.normal_world,
         init_cost=out.cost, prior_planes=prior_planes,
         prior_mask=prior_mask,
@@ -405,6 +436,8 @@ def process_batch(
     depth bank is read and device_put once per pass."""
     params = cfg.patchmatch
     collective = solver.mesh is not None and geom_consistency
+    tile_devices = (solver.mesh.devices.size if solver.mesh is not None
+                    else 0)
     if cfg.resume:
         indices = [i for i in indices
                    if not _pass_done(output_folder,
@@ -416,7 +449,7 @@ def process_batch(
             dense_folder, output_folder, problems, i, cfg, loader,
             geom_consistency=geom_consistency, hierarchy=hierarchy,
             multi_geometry=multi_geometry, seeded=seeded,
-            skip_src_depth_files=collective)
+            skip_src_depth_files=collective, tile_devices=tile_devices)
         if p is not None:
             preps.append(p)
     if not preps:
@@ -424,9 +457,10 @@ def process_batch(
     mode = Mode(geom_consistency=geom_consistency, hierarchy=hierarchy,
                 seeded=seeded)
 
-    # group by static shape bucket so each group stacks cleanly
+    # group by static shape bucket so each group stacks cleanly; tiled
+    # views (rows sharded over the mesh, parallel/tiles.py) group apart
     def bucket(pp):
-        return (pp.inputs.ref_img.shape, pp.inputs.src_imgs.shape)
+        return (pp.inputs.ref_img.shape, pp.inputs.src_imgs.shape, pp.tiled)
 
     groups: Dict[tuple, list] = {}
     for pp in preps:
@@ -437,10 +471,26 @@ def process_batch(
             groups, problems, output_folder, solver.mesh, multi_geometry,
             cache=depth_cache)
 
+    tile_mesh = None
+
+    def solve_group(group_inputs, keys, m):
+        nonlocal tile_mesh
+        if not group_inputs[0][1]:          # not tiled: view-parallel batch
+            return solver.solve_batch([gi for gi, _ in group_inputs], keys,
+                                      m)
+        # tiled: each view's rows sharded over every mesh device, views
+        # solved sequentially (one big view IS the whole step's work)
+        if tile_mesh is None:
+            tile_mesh = tile_ops.make_tile_mesh(
+                devices=list(solver.mesh.devices.flat))
+        return [tile_ops.tile_sharded_patchmatch(tile_mesh, gi, k, params, m)
+                for (gi, _), k in zip(group_inputs, keys)]
+
     for group in groups.values():
         keys = [_problem_key(cfg, pp.problem.ref_image_id, pass_tag)
                 for pp in group]
-        outs = solver.solve_batch([pp.inputs for pp in group], keys, mode)
+        outs = solve_group([(pp.inputs, pp.tiled) for pp in group], keys,
+                           mode)
         outs = [jax.tree.map(np.asarray, o) for o in outs]
 
         if planar_prior:
@@ -454,8 +504,8 @@ def process_batch(
             if second:
                 mode2 = Mode(geom_consistency=geom_consistency,
                              planar_prior=True, hierarchy=hierarchy)
-                outs2 = solver.solve_batch(
-                    [inp for _, inp in second],
+                outs2 = solve_group(
+                    [(inp, group[j].tiled) for j, inp in second],
                     [jax.random.fold_in(keys[j], 1) for j, _ in second],
                     mode2)
                 for (j, _), o2 in zip(second, outs2):
@@ -486,8 +536,9 @@ def _attach_gathered_src_depths(groups, problems, output_folder, mesh,
     rebuilt across shape buckets or view batches — depth files don't
     change within a pass. Falls back to direct disk reads for problems
     whose sources are outside the view set."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
+    from acmmp_tpu.parallel import multihost as mh
     from acmmp_tpu.parallel.sharding import VIEW_AXIS, gather_src_depths
 
     suffix = "depths_geom.dmb" if multi_geometry else "depths.dmb"
@@ -526,9 +577,10 @@ def _attach_gathered_src_depths(groups, problems, output_folder, mesh,
                     maps.append(_pad_to(d, hs, ws))
             n_pad = ((len(maps) + n_mesh - 1) // n_mesh) * n_mesh
             maps += [np.zeros((hs, ws), np.float32)] * (n_pad - len(maps))
-            cache[key] = jax.device_put(
-                jnp.asarray(np.stack(maps)),
-                NamedSharding(mesh, P(VIEW_AXIS)))
+            # multi-process safe: each process contributes only its
+            # addressable shards of the view-sharded bank
+            cache[key] = mh.host_to_global(mesh, P(VIEW_AXIS),
+                                           np.stack(maps))
         return cache[key]
 
     def disk_fallback(pp, hs, ws):
@@ -559,7 +611,13 @@ def _attach_gathered_src_depths(groups, problems, output_folder, mesh,
         for j, pp in enumerate(group):
             ids = [id2idx[s] for s in pp.problem.src_image_ids]
             si[j, :len(ids)] = ids
-        gathered = gather_src_depths(mesh, bank, jnp.asarray(si))
+        gathered = gather_src_depths(
+            mesh, bank, mh.host_to_global(mesh, P(VIEW_AXIS), si))
+        if mh.is_multiprocess():
+            # per-problem slices of a partially-addressable array can't be
+            # taken directly; land the gathered bank on every host once
+            # (the batched executor re-places each problem view-sharded)
+            gathered = mh.global_to_host(gathered)
         for j, pp in enumerate(group):
             pp.inputs = pp.inputs._replace(src_depths=gathered[j])
 
@@ -576,6 +634,8 @@ def joint_bilateral_upsampling(dense_folder: str, output_folder: str,
     """Upsample depths_geom.dmb to the next scale via JBU and store it as
     the next scale's depths.dmb (JointBilateralUpsampling,
     acmmp_definitions.cpp:405-440)."""
+    from acmmp_tpu.parallel import multihost as mh
+
     rid = problem.ref_image_id
     rdir = result_dir(output_folder, rid)
     coarse = read_dmb(os.path.join(rdir, "depths_geom.dmb"))
@@ -583,6 +643,8 @@ def joint_bilateral_upsampling(dense_folder: str, output_folder: str,
     if max(fine.image.shape[0] // coarse.shape[0],
            fine.image.shape[1] // coarse.shape[1]) <= 1:
         return  # RunJBU: "Image.rows = Depthmap.rows" early-out
+    if not mh.is_primary():
+        return
     up = jbu_depth_jit(jnp.asarray(fine.image), jnp.asarray(coarse),
                        cfg.patchmatch)
     write_dmb(os.path.join(rdir, "depths.dmb"), np.asarray(up))
@@ -597,6 +659,8 @@ def run_pipeline(dense_folder: str, cfg: PipelineConfig, mesh=None) -> str:
     dispatch; a mesh shards each batch over its "view" axis with the
     geometric pass's depth maps staying the filesystem contract."""
     import time as _time
+
+    from acmmp_tpu.parallel import multihost as mh
 
     t_start = _time.time()
     n_solves = 0
@@ -626,6 +690,9 @@ def run_pipeline(dense_folder: str, cfg: PipelineConfig, mesh=None) -> str:
                                                     len(problems)))),
                               cfg, loader, solver, depth_cache=depth_cache,
                               **mode_kw)
+        # multi-process: the NEXT pass reads this pass's checkpoint files
+        # (written by process 0 only); everyone waits for them to land
+        mh.barrier(f"pass_{mode_kw.get('pass_tag', 0)}")
     log.info("There are %d problems to process", len(problems))
     max_num_downscale = compute_multiscale_settings(
         dense_folder, problems, cfg.patchmatch, cfg.image_dir)
@@ -672,6 +739,7 @@ def run_pipeline(dense_folder: str, cfg: PipelineConfig, mesh=None) -> str:
                 joint_bilateral_upsampling(
                     dense_folder, output_folder, p, p.cur_image_size, cfg,
                     loader)
+            mh.barrier(f"jbu_s{scale}")
             with profiled(f"hierarchy_s{scale}"):
                 run_views(geom_consistency=False,
                           planar_prior=cfg.planar_prior,
