@@ -81,7 +81,11 @@ def main(argv=None):
                     help="reference views solved per dispatch; "
                          "--mesh shards the batch over all local devices")
     pr.add_argument("--mesh", action="store_true",
-                    help="shard view batches over a device mesh")
+                    help="shard view batches over a device mesh (all "
+                         "visible devices; multi-host pods via "
+                         "jax.distributed are supported and tested — "
+                         "tests/test_multiprocess.py runs the full "
+                         "pipeline under 2 real processes)")
     pr.add_argument("--debug_images", action="store_true",
                     help="write approved_pixels_cam_N.png and "
                          "triangulation.png debug artifacts")
