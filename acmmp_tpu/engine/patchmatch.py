@@ -379,7 +379,21 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
     cand_n = jnp.stack([normal_now, normal_rand, normal_rand, normal_pert,
                         normal_now])
     planes5 = geo.plane_from_depth_normal(cam, x, y, cand_d, cand_n)
-    ncc5 = eval_ncc(planes5)
+    if params.ncc_kbatch_refine:
+        # two internally-coherent stacks (see config.ncc_kbatch_refine):
+        # candidates {1,3,4} share the incumbent depth, {0,2} share the
+        # same per-pixel random depth — identical center warps within each
+        # stack, so the K-shared union window is ~each member's own.
+        # Same candidate planes, same per-candidate costs (the K-shared
+        # kernel is bitwise-equal to per-k, test_k_shared_matches_per_k).
+        ncc_now = eval_ncc(jnp.stack([planes5[1], planes5[3], planes5[4]]),
+                           coherent=True)
+        ncc_rand = eval_ncc(jnp.stack([planes5[0], planes5[2]]),
+                            coherent=True)
+        ncc5 = jnp.stack([ncc_rand[0], ncc_now[0], ncc_rand[1], ncc_now[1],
+                          ncc_now[2]])
+    else:
+        ncc5 = eval_ncc(planes5)
     geom5 = None
     if mode.geom_consistency:
         geom5 = geom_consistency_cost(cam, inputs.src_cams, inputs.src_depths,

@@ -171,6 +171,22 @@ def main():
 
         check(name, run_ks)
 
+    # K=3 unroll (the refinement 'incumbent-depth' stack size,
+    # engine/patchmatch.py ncc_kbatch_refine) — a different static K than
+    # the K=2 checks above and the K=8 propagation stack
+    def run_ks3():
+        p_mid = geo.plane_from_depth_normal(
+            inputs.ref_cam, x, y, jnp.full(x.shape, plane_z * 1.1), n_cam)
+        p3 = parity.pack_rows_c(jnp.stack([p_true, p_mid, p_rand]), off0)
+        got = multiview_zncc_pallas(
+            inputs.ref_img, inputs.src_imgs, vg, p3, params,
+            row_pack_off=off0, k_shared=True)
+        want = ncc_ops.multiview_zncc_packed(
+            inputs.ref_img, inputs.src_imgs, vg, p3, oracle_params, off0)
+        close(got, want)
+
+    check("ncc_kshared[K=3,u8,packed,res]", run_ks3)
+
     # ---- geometric-consistency kernel, full + packed ----
     from acmmp_tpu.ops.geom import geom_consistency_cost
 
