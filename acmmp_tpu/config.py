@@ -107,6 +107,16 @@ class PatchMatchParams:
     # member's own window and the shared tile visit pays the chunk
     # slice/broadcast/loop trips once per stack instead of once per k.
     ncc_kbatch_refine: bool = True
+    # OPT-IN deviation (0 = exact reference semantics): draw each random
+    # depth (init planes + the two d_rand refinement candidates) inside a
+    # per-(8,128)-tile random subrange of this fraction of the depth
+    # range, refreshed every call/sweep. Same per-pixel marginal
+    # distribution, but the per-tile depth spread — and the Pallas
+    # kernel's per-tap scan window, a per-tile bbox — collapses by ~1/f.
+    # The dominant scale-dependent cost at the DTU operating point is
+    # exactly that full-range scan (docs/PERF.md). Quality A/B:
+    # tools/rand_window_ab.py.
+    rand_depth_tile_window: float = 0.0
 
     # --- deviations from the reference (documented in DEVIATIONS.md) ---
     # The reference's right_far strip selects the MAX-cost member due to a

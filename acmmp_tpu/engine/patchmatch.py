@@ -134,7 +134,8 @@ def _init_state(inputs: SolverInputs, params: PatchMatchParams, mode: Mode,
         planes = geo.plane_from_depth_normal(cam, x, y, inputs.init_depth, n_cam)
     else:
         planes = samp_ops.random_plane(
-            key, cam, x, y, inputs.depth_min, inputs.depth_max
+            key, cam, x, y, inputs.depth_min, inputs.depth_max,
+            tile_window=params.rand_depth_tile_window,
         )
 
     per_view = ncc_ops.multiview_zncc(
@@ -360,13 +361,17 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
         n_rand_prior = samp_ops.perturbed_normal(
             kn_r, cam, x, y, prior_planes_in[..., :3], params.prior_angle_sigma
         )
-        d_rand_std = samp_ops.random_depth(kd_r, dmin, dmax, x.shape)
+        d_rand_std = samp_ops.random_depth(
+            kd_r, dmin, dmax, x.shape,
+            tile_window=params.rand_depth_tile_window)
         n_rand_std = samp_ops.random_unit_normal(kn_r, cam, x, y, depth_now)
         pm = prior_mask_in
         depth_rand = jnp.where(pm, d_rand_prior, d_rand_std)
         normal_rand = jnp.where(pm[..., None], n_rand_prior, n_rand_std)
     else:
-        depth_rand = samp_ops.random_depth(kd_r, dmin, dmax, x.shape)
+        depth_rand = samp_ops.random_depth(
+            kd_r, dmin, dmax, x.shape,
+            tile_window=params.rand_depth_tile_window)
         normal_rand = samp_ops.random_unit_normal(kn_r, cam, x, y, depth_now)
 
     pert = params.refine_perturbation

@@ -28,16 +28,39 @@ def random_unit_normal(key, cam: geo.Camera, x, y, depth) -> jax.Array:
     return geo.face_camera(cam, x, y, depth, n)
 
 
-def random_depth(key, depth_min, depth_max, shape) -> jax.Array:
+def random_depth(key, depth_min, depth_max, shape,
+                 tile_window: float = 0.0) -> jax.Array:
+    """Per-pixel uniform depth draw.
+
+    With ``tile_window = f`` in (0, 1], each (8, 128) grid tile draws its
+    OWN random subrange of fraction f of [depth_min, depth_max] and the
+    per-pixel uniforms land inside it. Exploration still covers the full
+    range (a fresh subrange every call/sweep), but the per-tile depth
+    spread — and with it the Pallas kernel's per-tap scan window, which
+    is a per-tile bbox — collapses by ~1/f. This is a documented
+    DEVIATION from the reference's full-range per-pixel draw
+    (GenerateRandomPlaneHypothesis, ACMMP.cu:235-241): same marginal
+    distribution per pixel, different joint distribution within a tile.
+    0 (default) = exact reference semantics."""
     u = jax.random.uniform(key, shape, dtype=jnp.float32)
+    if tile_window:
+        f = float(tile_window)
+        th = -(-shape[0] // 8)
+        tw = -(-shape[1] // 128)
+        w0 = jax.random.uniform(jax.random.fold_in(key, 0x7717),
+                                (th, tw), dtype=jnp.float32,
+                                minval=0.0, maxval=1.0 - f)
+        w0 = jnp.repeat(jnp.repeat(w0, 8, axis=0), 128, axis=1)
+        u = w0[:shape[0], :shape[1]] + u * f
     return u * (depth_max - depth_min) + depth_min
 
 
-def random_plane(key, cam: geo.Camera, x, y, depth_min, depth_max) -> jax.Array:
+def random_plane(key, cam: geo.Camera, x, y, depth_min, depth_max,
+                 tile_window: float = 0.0) -> jax.Array:
     """GenerateRandomPlaneHypothesis (ACMMP.cu:235-241)."""
     kd, kn = jax.random.split(key)
     shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y))
-    depth = random_depth(kd, depth_min, depth_max, shape)
+    depth = random_depth(kd, depth_min, depth_max, shape, tile_window)
     n = random_unit_normal(kn, cam, x, y, depth)
     return geo.plane_from_depth_normal(cam, x, y, depth, n)
 

@@ -1,0 +1,79 @@
+"""Quality + speed A/B for `rand_depth_tile_window` on the real TPU.
+
+Runs the staged photometric solve from random init on the synthetic
+textured-plane scene across several seeds, for window fraction 0 (exact
+reference semantics) vs candidate fractions, and reports per-variant
+depth accuracy and solve time. The deviation only changes WHERE random
+exploration lands each sweep (per-tile subranges, fresh every sweep) —
+this tool is the evidence gate before enabling it anywhere
+(config.rand_depth_tile_window).
+
+Usage: python tools/rand_window_ab.py [--height 240 --width 320 --views 4]
+       [--windows 0,0.25,0.125] [--seeds 4]
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=240)
+    ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--views", type=int, default=4)
+    ap.add_argument("--seeds", type=int, default=4)
+    ap.add_argument("--windows", default="0,0.25,0.125")
+    ap.add_argument("--geom", action="store_true",
+                    help="also run one geometric pass per seed")
+    args = ap.parse_args()
+
+    from acmmp_tpu.config import PatchMatchParams
+    from acmmp_tpu.engine.inputs import build_solver_inputs
+    from acmmp_tpu.engine.patchmatch import Mode, run_patchmatch_staged
+    from acmmp_tpu.utils.synth import textured_plane_scene
+
+    images, cams, plane_z = textured_plane_scene(
+        n_views=args.views + 1, width=args.width, height=args.height,
+        f=600.0 * args.width / 320.0, plane_z=5.0)
+
+    H, W = args.height, args.width
+    interior = np.s_[8:H - 8, 8:W - 8]
+
+    for wtxt in args.windows.split(","):
+        w = float(wtxt)
+        params = PatchMatchParams(rand_depth_tile_window=w)
+        inputs = build_solver_inputs(images[0], images[1:], cams[0],
+                                     cams[1:], params)
+        errs, inliers, times = [], [], []
+        for s in range(args.seeds):
+            key = jax.random.key(100 + s)
+            t0 = time.perf_counter()
+            out = run_patchmatch_staged(inputs, key, params=params,
+                                        mode=Mode())
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+            d = np.asarray(out.depth)[:H, :W][interior]
+            e = np.abs(d - plane_z)
+            errs.append(float(np.median(e)))
+            inliers.append(float((e < 0.1).mean()))
+        print(f"window={w:6.3f}: median_err "
+              f"{np.mean(errs):.4f} +- {np.std(errs):.4f}   "
+              f"inliers@0.1 {np.mean(inliers):.3f} +- {np.std(inliers):.3f}  "
+              f" {np.mean(times[1:] or times) * 1e3:8.1f} ms/solve",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
