@@ -56,6 +56,7 @@ def _cfg_from_args(args, prior: bool) -> PipelineConfig:
         fusion_view_cache=getattr(args, "fusion_view_cache", 0),
         patchmatch=PatchMatchParams(
             max_image_size=getattr(args, "max_image_size", 3200),
+            rand_depth_tile_window=getattr(args, "rand_depth_window", 0.0),
         ),
         fusion=FusionParams(
             consistency_scalar=args.fuse_thresh,
@@ -89,6 +90,14 @@ def main(argv=None):
     pr.add_argument("--debug_images", action="store_true",
                     help="write approved_pixels_cam_N.png and "
                          "triangulation.png debug artifacts")
+    pr.add_argument("--rand_depth_window", type=float, default=0.0,
+                    help="opt-in speed deviation: draw random depths inside "
+                         "a per-(8,128)-tile random subrange of this "
+                         "fraction of the depth range (fresh every sweep), "
+                         "collapsing the NCC kernel's per-tile scan windows "
+                         "~1/f at large scales; 0 = exact reference "
+                         "semantics (see DEVIATIONS.md, "
+                         "tools/rand_window_ab.py)")
     pr.add_argument("--resume", action="store_true",
                     help="skip (view, scale, mode) solves already completed "
                          "by a previous run (stage markers next to the .dmb "

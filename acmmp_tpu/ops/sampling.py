@@ -39,9 +39,12 @@ def random_depth(key, depth_min, depth_max, shape,
     spread — and with it the Pallas kernel's per-tap scan window, which
     is a per-tile bbox — collapses by ~1/f. This is a documented
     DEVIATION from the reference's full-range per-pixel draw
-    (GenerateRandomPlaneHypothesis, ACMMP.cu:235-241): same marginal
-    distribution per pixel, different joint distribution within a tile.
-    0 (default) = exact reference semantics."""
+    (GenerateRandomPlaneHypothesis, ACMMP.cu:235-241): the per-pixel
+    marginal becomes trapezoidal (uniform in the interior, linear ramps
+    of width f·range at the two ends — depths within f of the range
+    edges are explored at reduced density in any single draw, though
+    fresh windows every sweep still cover them). Quality gate:
+    tools/rand_window_ab.py. 0 (default) = exact reference semantics."""
     u = jax.random.uniform(key, shape, dtype=jnp.float32)
     if tile_window:
         f = float(tile_window)

@@ -8,8 +8,14 @@ exploration lands each sweep (per-tile subranges, fresh every sweep) —
 this tool is the evidence gate before enabling it anywhere
 (config.rand_depth_tile_window).
 
+Quality caveat the A/B must cover: the windowed marginal is trapezoidal
+(edge ramps of width f*range — docs/PERF.md, DEVIATIONS.md #18), so true
+depths near the range ends are the adversarial case; run with
+--plane_z near depth_max (range is [2, 10] for the synthetic scene) as
+well as the mid-range default.
+
 Usage: python tools/rand_window_ab.py [--height 240 --width 320 --views 4]
-       [--windows 0,0.25,0.125] [--seeds 4]
+       [--windows 0,0.25,0.125] [--seeds 4] [--plane_z 5.0] [--cpu]
 """
 
 import argparse
@@ -35,9 +41,16 @@ def main():
     ap.add_argument("--views", type=int, default=4)
     ap.add_argument("--seeds", type=int, default=4)
     ap.add_argument("--windows", default="0,0.25,0.125")
+    ap.add_argument("--plane_z", type=float, default=5.0,
+                    help="true plane depth; near 10 (range max) probes the "
+                         "trapezoidal-marginal edge suppression")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on CPU (quality-only; timings meaningless)")
     ap.add_argument("--geom", action="store_true",
                     help="also run one geometric pass per seed")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from acmmp_tpu.config import PatchMatchParams
     from acmmp_tpu.engine.inputs import build_solver_inputs
@@ -46,7 +59,7 @@ def main():
 
     images, cams, plane_z = textured_plane_scene(
         n_views=args.views + 1, width=args.width, height=args.height,
-        f=600.0 * args.width / 320.0, plane_z=5.0)
+        f=600.0 * args.width / 320.0, plane_z=args.plane_z)
 
     H, W = args.height, args.width
     interior = np.s_[8:H - 8, 8:W - 8]
