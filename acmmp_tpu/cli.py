@@ -57,6 +57,7 @@ def _cfg_from_args(args, prior: bool) -> PipelineConfig:
         patchmatch=PatchMatchParams(
             max_image_size=getattr(args, "max_image_size", 3200),
             rand_depth_tile_window=getattr(args, "rand_depth_window", 0.0),
+            rand_normal_min_cos=getattr(args, "rand_normal_cos", 0.0),
         ),
         fusion=FusionParams(
             consistency_scalar=args.fuse_thresh,
@@ -98,6 +99,12 @@ def main(argv=None):
                          "~1/f at large scales; 0 = exact reference "
                          "semantics (see DEVIATIONS.md, "
                          "tools/rand_window_ab.py)")
+    pr.add_argument("--rand_normal_cos", type=float, default=0.0,
+                    help="opt-in speed deviation: draw random normals on "
+                         "the spherical cap dot(n, -view_dir) >= c instead "
+                         "of the full facing hemisphere, bounding the NCC "
+                         "kernel's scan-window blowup from near-grazing "
+                         "normals; 0 = exact reference law (DEVIATIONS.md)")
     pr.add_argument("--resume", action="store_true",
                     help="skip (view, scale, mode) solves already completed "
                          "by a previous run (stage markers next to the .dmb "

@@ -117,6 +117,15 @@ class PatchMatchParams:
     # exactly that full-range scan (docs/PERF.md). Quality A/B:
     # tools/rand_window_ab.py.
     rand_depth_tile_window: float = 0.0
+    # OPT-IN deviation (0 = exact reference semantics): draw random
+    # normals uniformly on the spherical cap dot(n, -view_dir) >= c
+    # instead of the full facing hemisphere. Near-grazing normals make
+    # the plane-induced homography Jacobian explode; ONE such normal in
+    # an (8,128) tile forces the Pallas kernel's whole per-tile per-tap
+    # scan window wide open. The reference's texture units don't care
+    # where taps land; our scan-based kernel does (docs/PERF.md).
+    # Quality A/B: tools/rand_window_ab.py --min_cos.
+    rand_normal_min_cos: float = 0.0
 
     # --- deviations from the reference (documented in DEVIATIONS.md) ---
     # The reference's right_far strip selects the MAX-cost member due to a

@@ -136,6 +136,7 @@ def _init_state(inputs: SolverInputs, params: PatchMatchParams, mode: Mode,
         planes = samp_ops.random_plane(
             key, cam, x, y, inputs.depth_min, inputs.depth_max,
             tile_window=params.rand_depth_tile_window,
+            min_cos=params.rand_normal_min_cos,
         )
 
     per_view = ncc_ops.multiview_zncc(
@@ -364,7 +365,9 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
         d_rand_std = samp_ops.random_depth(
             kd_r, dmin, dmax, x.shape,
             tile_window=params.rand_depth_tile_window)
-        n_rand_std = samp_ops.random_unit_normal(kn_r, cam, x, y, depth_now)
+        n_rand_std = samp_ops.random_unit_normal(
+            kn_r, cam, x, y, depth_now,
+            min_cos=params.rand_normal_min_cos)
         pm = prior_mask_in
         depth_rand = jnp.where(pm, d_rand_prior, d_rand_std)
         normal_rand = jnp.where(pm[..., None], n_rand_prior, n_rand_std)
@@ -372,7 +375,9 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
         depth_rand = samp_ops.random_depth(
             kd_r, dmin, dmax, x.shape,
             tile_window=params.rand_depth_tile_window)
-        normal_rand = samp_ops.random_unit_normal(kn_r, cam, x, y, depth_now)
+        normal_rand = samp_ops.random_unit_normal(
+            kn_r, cam, x, y, depth_now,
+            min_cos=params.rand_normal_min_cos)
 
     pert = params.refine_perturbation
     u = jax.random.uniform(kd_p, x.shape, dtype=jnp.float32)

@@ -20,12 +20,45 @@ import jax.numpy as jnp
 from acmmp_tpu.core import geometry as geo
 
 
-def random_unit_normal(key, cam: geo.Camera, x, y, depth) -> jax.Array:
-    """Uniform-on-sphere normals facing the camera; shapes follow x/y."""
+def random_unit_normal(key, cam: geo.Camera, x, y, depth,
+                       min_cos: float = 0.0) -> jax.Array:
+    """Uniform-on-sphere normals facing the camera; shapes follow x/y.
+
+    With ``min_cos = c`` in (0, 1) the draw is uniform on the spherical
+    cap ``dot(n, -view_dir) >= c`` instead of the full facing hemisphere
+    — an OPT-IN deviation from the reference's uniform hemisphere
+    (GenerateRandomNormal, ACMMP.cu:170-196; DEVIATIONS.md #19).
+    Near-grazing random normals (``dot ~ 0``) make the plane-induced
+    homography's Jacobian explode, and the Pallas NCC kernel's per-tap
+    scan window is a per-(8,128)-tile bbox: ONE grazing normal anywhere
+    in a tile forces the whole tile to scan a huge source window. On the
+    reference's GPU the same normal costs nothing (texture fetches are
+    O(1) per tap regardless of where they land) — this cap exists purely
+    because our cost model is scan-extent-based. 0 (default) = exact
+    reference law (and the reference's exact RNG stream shape)."""
     shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y))
-    v = jax.random.normal(key, shape + (3,), dtype=jnp.float32)
-    n = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
-    return geo.face_camera(cam, x, y, depth, n)
+    if not min_cos:
+        v = jax.random.normal(key, shape + (3,), dtype=jnp.float32)
+        n = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+        return geo.face_camera(cam, x, y, depth, n)
+    c = float(min_cos)
+    a = -geo.view_direction(cam, x, y, depth)          # cap axis (unit)
+    ku, kphi = jax.random.split(key)
+    # uniform on the cap: cos(theta) ~ U(c, 1), phi ~ U(0, 2pi)
+    ct = jax.random.uniform(ku, shape, jnp.float32, c, 1.0)
+    st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+    phi = jax.random.uniform(kphi, shape, jnp.float32, 0.0, 2.0 * jnp.pi)
+    # orthonormal basis perpendicular to a (guard the degenerate helper)
+    h = jnp.where(jnp.abs(a[..., :1]) < 0.9,
+                  jnp.array([1.0, 0.0, 0.0], jnp.float32),
+                  jnp.array([0.0, 1.0, 0.0], jnp.float32))
+    e1 = jnp.cross(a, h)
+    e1 = e1 / jnp.maximum(jnp.linalg.norm(e1, axis=-1, keepdims=True), 1e-12)
+    e2 = jnp.cross(a, e1)
+    n = (ct[..., None] * a
+         + (st * jnp.cos(phi))[..., None] * e1
+         + (st * jnp.sin(phi))[..., None] * e2)
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
 
 
 def random_depth(key, depth_min, depth_max, shape,
@@ -59,12 +92,13 @@ def random_depth(key, depth_min, depth_max, shape,
 
 
 def random_plane(key, cam: geo.Camera, x, y, depth_min, depth_max,
-                 tile_window: float = 0.0) -> jax.Array:
+                 tile_window: float = 0.0,
+                 min_cos: float = 0.0) -> jax.Array:
     """GenerateRandomPlaneHypothesis (ACMMP.cu:235-241)."""
     kd, kn = jax.random.split(key)
     shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y))
     depth = random_depth(kd, depth_min, depth_max, shape, tile_window)
-    n = random_unit_normal(kn, cam, x, y, depth)
+    n = random_unit_normal(kn, cam, x, y, depth, min_cos=min_cos)
     return geo.plane_from_depth_normal(cam, x, y, depth, n)
 
 

@@ -127,7 +127,8 @@ def _tile_solve_impl(inputs: SolverInputs, key, params, mode, mesh):
         else:
             planes0 = samp_ops.random_plane(
                 k_init, cam, x_l, y_l, repl.depth_min, repl.depth_max,
-                tile_window=params.rand_depth_tile_window)
+                tile_window=params.rand_depth_tile_window,
+                min_cos=params.rand_normal_min_cos)
         # init NCC on the halo-extended ref rows so the +-patch_radius ref
         # taps of boundary pixels read TRUE neighbor rows instead of
         # clamping at the shard seam (the NCC at pixel p only reads the

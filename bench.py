@@ -126,6 +126,30 @@ def main():
     maps_per_s = rates[len(rates) // 2]
     extra["headline_reps"] = [round(r, 4) for r in rates]
 
+    # headline shape with the opt-in random-search deviations ON
+    # (DEVIATIONS.md #18 f=1/8 + #19 c=0.25) — the exact-semantics number
+    # above stays the headline; this shows what the deviations buy there.
+    params_wh = PatchMatchParams(rand_depth_tile_window=0.125,
+                                 rand_normal_min_cos=0.25)
+
+    @jax.jit
+    def fused_many_w(keys):
+        def body(c, k):
+            out = run_patchmatch(inputs, k, params=params_wh, mode=mode)
+            return c + jnp.mean(out.depth), None
+        tot, _ = jax.lax.scan(body, jnp.float32(0.0), keys)
+        return tot
+
+    float(fused_many_w(keys))
+    rates_w = []
+    for _ in range(TIMED_CALLS):
+        t0 = time.perf_counter()
+        float(fused_many_w(keys))
+        rates_w.append(REPS / (time.perf_counter() - t0))
+    rates_w.sort()
+    extra["headline_win8cap_maps_per_s"] = round(
+        rates_w[len(rates_w) // 2], 4)
+
     # --- staged production path at >= 0.3 Mpx ---
     inputs2 = _inputs(W2, H2, params)
     k = jax.random.key(3)
@@ -155,6 +179,23 @@ def main():
             inputs_d, jax.random.fold_in(kd, i), params=params, mode=mode)
         jax.block_until_ready(out_d)
     extra["staged_1600x1184_v8_maps_per_s"] = round(
+        2 / (time.perf_counter() - t0), 4)
+
+    # Same operating point with the opt-in random-search deviations ON
+    # (DEVIATIONS.md #18 tile-windowed random depth f=1/8 + #19 capped
+    # normal obliquity c=0.25): the full-range/grazing-normal scan
+    # windows are the dominant scale-dependent kernel cost, so this
+    # measures what --rand_depth_window/--rand_normal_cos buy at DTU
+    # scale.
+    params_w = PatchMatchParams(rand_depth_tile_window=0.125,
+                                rand_normal_min_cos=0.25)
+    out_w = run_patchmatch_staged(inputs_d, kd, params=params_w, mode=mode)
+    jax.block_until_ready(out_w)
+    t0 = time.perf_counter()
+    for i in range(2):
+        jax.block_until_ready(run_patchmatch_staged(
+            inputs_d, jax.random.fold_in(kd, i), params=params_w, mode=mode))
+    extra["staged_1600x1184_v8_win8cap_maps_per_s"] = round(
         2 / (time.perf_counter() - t0), 4)
 
     # --- fusion per-view program at the DTU scale: project 1.9 Mpx into 8

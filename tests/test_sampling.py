@@ -66,6 +66,46 @@ def test_tile_window_marginal_covers_range():
     assert abs(draws.mean() - (DMIN + DMAX) / 2.0) < 0.05 * rng
 
 
+def _plane_cam(width=128, height=16):
+    from acmmp_tpu.utils.synth import textured_plane_scene
+    _, cams, _ = textured_plane_scene(n_views=2, width=width, height=height)
+    return cams[0].to_jax()
+
+
+def test_min_cos_zero_is_reference_stream():
+    # min_cos=0 must take the reference-law code path BITWISE (same
+    # Marsaglia draw + face_camera flip as before the cap existed).
+    from acmmp_tpu.core import geometry as geo
+    cam = _plane_cam()
+    x, y = geo.pixel_grid(16, 128)
+    key = jax.random.key(5)
+    a = samp_ops.random_unit_normal(key, cam, x, y, 5.0)
+    b = samp_ops.random_unit_normal(key, cam, x, y, 5.0, min_cos=0.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_min_cos_cap_bounds_obliquity():
+    from acmmp_tpu.core import geometry as geo
+    cam = _plane_cam()
+    x, y = geo.pixel_grid(16, 128)
+    c = 0.3
+    dots = []
+    for s in range(8):
+        n = samp_ops.random_unit_normal(jax.random.key(s), cam, x, y, 5.0,
+                                        min_cos=c)
+        n = np.asarray(n)
+        # unit normals ...
+        np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0,
+                                   atol=1e-5)
+        vd = np.asarray(geo.view_direction(cam, x, y, 5.0))
+        dots.append(-(n * vd).sum(-1))      # = dot(n, -view_dir)
+    d = np.stack(dots)
+    # ... everywhere inside the cap ...
+    assert d.min() >= c - 1e-5
+    # ... and actually spread over it (not collapsed to fronto-parallel)
+    assert d.min() < c + 0.1 and d.max() > 0.97
+
+
 def test_tile_window_flows_through_random_plane():
     # random_plane(tile_window=f) must put the windowed depths into the
     # planes it builds: recover per-pixel depth from the plane and check

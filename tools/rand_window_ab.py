@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--plane_z", type=float, default=5.0,
                     help="true plane depth; near 10 (range max) probes the "
                          "trapezoidal-marginal edge suppression")
+    ap.add_argument("--min_cos", default="",
+                    help="comma list of rand_normal_min_cos values to "
+                         "cross with each window (e.g. 0,0.25); empty = "
+                         "reference law only")
     ap.add_argument("--cpu", action="store_true",
                     help="run on CPU (quality-only; timings meaningless)")
     ap.add_argument("--geom", action="store_true",
@@ -64,28 +68,32 @@ def main():
     H, W = args.height, args.width
     interior = np.s_[8:H - 8, 8:W - 8]
 
+    coss = [float(t) for t in args.min_cos.split(",") if t] or [0.0]
     for wtxt in args.windows.split(","):
-        w = float(wtxt)
-        params = PatchMatchParams(rand_depth_tile_window=w)
-        inputs = build_solver_inputs(images[0], images[1:], cams[0],
-                                     cams[1:], params)
-        errs, inliers, times = [], [], []
-        for s in range(args.seeds):
-            key = jax.random.key(100 + s)
-            t0 = time.perf_counter()
-            out = run_patchmatch_staged(inputs, key, params=params,
-                                        mode=Mode())
-            jax.block_until_ready(out)
-            times.append(time.perf_counter() - t0)
-            d = np.asarray(out.depth)[:H, :W][interior]
-            e = np.abs(d - plane_z)
-            errs.append(float(np.median(e)))
-            inliers.append(float((e < 0.1).mean()))
-        print(f"window={w:6.3f}: median_err "
-              f"{np.mean(errs):.4f} +- {np.std(errs):.4f}   "
-              f"inliers@0.1 {np.mean(inliers):.3f} +- {np.std(inliers):.3f}  "
-              f" {np.mean(times[1:] or times) * 1e3:8.1f} ms/solve",
-              flush=True)
+        for mc in coss:
+            w = float(wtxt)
+            params = PatchMatchParams(rand_depth_tile_window=w,
+                                      rand_normal_min_cos=mc)
+            inputs = build_solver_inputs(images[0], images[1:], cams[0],
+                                         cams[1:], params)
+            errs, inliers, times = [], [], []
+            for s in range(args.seeds):
+                key = jax.random.key(100 + s)
+                t0 = time.perf_counter()
+                out = run_patchmatch_staged(inputs, key, params=params,
+                                            mode=Mode())
+                jax.block_until_ready(out)
+                times.append(time.perf_counter() - t0)
+                d = np.asarray(out.depth)[:H, :W][interior]
+                e = np.abs(d - plane_z)
+                errs.append(float(np.median(e)))
+                inliers.append(float((e < 0.1).mean()))
+            print(f"window={w:6.3f} min_cos={mc:5.2f}: median_err "
+                  f"{np.mean(errs):.4f} +- {np.std(errs):.4f}   "
+                  f"inliers@0.1 {np.mean(inliers):.3f} +- "
+                  f"{np.std(inliers):.3f}  "
+                  f" {np.mean(times[1:] or times) * 1e3:8.1f} ms/solve",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -39,6 +39,7 @@ def main():
     ap.add_argument("--views", type=int, default=8)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--window", type=float, default=0.125)
+    ap.add_argument("--min_cos", type=float, default=0.25)
     args = ap.parse_args()
 
     from acmmp_tpu.config import PatchMatchParams
@@ -74,12 +75,13 @@ def main():
         n = jax.random.normal(k, g, jnp.float32) * scale * plane_z
         return jnp.clip(plane_z + n, dmin, dmax)
 
-    def planes_from(k, depth):
-        n = samp_ops.random_unit_normal(k, cam, xp, yp, depth)
+    def planes_from(k, depth, min_cos=0.0):
+        n = samp_ops.random_unit_normal(k, cam, xp, yp, depth,
+                                        min_cos=min_cos)
         return geo.plane_from_depth_normal(cam, xp, yp, depth, n)
 
-    def stack(kk, depths):
-        return jnp.stack([planes_from(jax.random.fold_in(kk, i), d)
+    def stack(kk, depths, min_cos=0.0):
+        return jnp.stack([planes_from(jax.random.fold_in(kk, i), d, min_cos)
                           for i, d in enumerate(depths)])
 
     # prop: 8 near-identical near-true fields (neighbor planes)
@@ -129,6 +131,25 @@ def main():
           f"(rand = {100 * t_rand / total:.0f}%)")
     print(f"tile-window ceiling   : sweep NCC -> "
           f"{t_prop + t_now + t_wind:9.2f} ms at f={f}")
+
+    # --- the normal-obliquity axis: same depth structures, normals drawn
+    # on the spherical cap dot(n, -view_dir) >= min_cos (DEVIATIONS #19).
+    # Tests whether the per-tile scan blowup is driven by grazing normals
+    # rather than (only) by depth spread. Fronto (cos=1-) is the floor.
+    mc = args.min_cos
+    now3c = stack(jax.random.fold_in(k0, 2), [d_now, d_now, d_now],
+                  min_cos=mc)
+    rand2c = stack(jax.random.fold_in(k0, 4), [d_rand, d_rand], min_cos=mc)
+    rand2wc = stack(jax.random.fold_in(k0, 4), [d_win, d_win], min_cos=mc)
+    now3f = stack(jax.random.fold_in(k0, 2), [d_now, d_now, d_now],
+                  min_cos=0.995)
+    t_nowc = timed(f"now    K=3 cap{mc:.2f}", now3c)
+    t_randc = timed(f"rand   K=2 cap{mc:.2f}", rand2c)
+    t_wandc = timed(f"randwin2 cap{mc:.2f}", rand2wc)
+    t_nowf = timed(f"now    K=3 fronto", now3f)
+    print(f"cap ceiling           : sweep NCC -> "
+          f"{t_prop + t_nowc + t_randc:9.2f} ms at cap={mc}; "
+          f"win+cap -> {t_prop + t_nowc + t_wandc:9.2f} ms")
 
 
 if __name__ == "__main__":
