@@ -36,6 +36,7 @@ from acmmp_tpu.config import PatchMatchParams
 from acmmp_tpu.core import geometry as geo
 from acmmp_tpu.ops import ncc as ncc_ops
 from acmmp_tpu.ops import parity as parity_ops
+from acmmp_tpu.ops import pixel_rng as prng
 from acmmp_tpu.ops import propagation as prop_ops
 from acmmp_tpu.ops import sampling as samp_ops
 from acmmp_tpu.ops.geom import geom_consistency_cost
@@ -120,7 +121,7 @@ def _init_state(inputs: SolverInputs, params: PatchMatchParams, mode: Mode,
         # the variable depth_perturbed but reads/writes plane.w,
         # ACMMP.cu:645-650); we match that behavior.
         w0 = inputs.prior_planes[..., 3]
-        u = jax.random.uniform(kd, (H, W), dtype=jnp.float32) * 2.0 - 1.0
+        u = prng.uniform(kd, y, x, 0) * 2.0 - 1.0
         w_pert = w0 * (1.0 + p3 * u)
         n_pert = samp_ops.perturbed_normal(
             kn, cam, x, y, inputs.prior_planes[..., :3], p3 * jnp.pi
@@ -271,7 +272,7 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
 
     # ---- multi-hypothesis joint view selection ----
     weights, weight_norm, new_selected = prop_ops.view_selection_core(
-        ncc8, flags, prior, inputs.view_mask, k_view, iteration, params,
+        ncc8, flags, prior, inputs.view_mask, x, y, k_view, iteration, params,
     )
     has_views = weight_norm > 0.0
 
@@ -357,13 +358,13 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
 
     if mode.planar_prior:
         depth_sigma = (dmax - dmin) / params.prior_depth_sigma_div
-        u = jax.random.uniform(kd_r, x.shape, dtype=jnp.float32)
+        u = prng.uniform(kd_r, y, x, 16)
         d_rand_prior = u * 6.0 * depth_sigma + (prior_depth - 3.0 * depth_sigma)
         n_rand_prior = samp_ops.perturbed_normal(
             kn_r, cam, x, y, prior_planes_in[..., :3], params.prior_angle_sigma
         )
         d_rand_std = samp_ops.random_depth(
-            kd_r, dmin, dmax, x.shape,
+            kd_r, dmin, dmax, y, x,
             tile_window=params.rand_depth_tile_window)
         n_rand_std = samp_ops.random_unit_normal(
             kn_r, cam, x, y, depth_now,
@@ -373,14 +374,14 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
         normal_rand = jnp.where(pm[..., None], n_rand_prior, n_rand_std)
     else:
         depth_rand = samp_ops.random_depth(
-            kd_r, dmin, dmax, x.shape,
+            kd_r, dmin, dmax, y, x,
             tile_window=params.rand_depth_tile_window)
         normal_rand = samp_ops.random_unit_normal(
             kn_r, cam, x, y, depth_now,
             min_cos=params.rand_normal_min_cos)
 
     pert = params.refine_perturbation
-    u = jax.random.uniform(kd_p, x.shape, dtype=jnp.float32)
+    u = prng.uniform(kd_p, y, x, 0)
     depth_pert = depth_now * (1.0 - pert) + u * (2.0 * pert * depth_now)
     normal_pert = samp_ops.perturbed_normal(kn_p, cam, x, y, normal_now,
                                             pert * jnp.pi)
@@ -501,15 +502,29 @@ def sweep_once(state: SolverState, inputs: SolverInputs, sweep_idx: int,
     """Stage 2 (called 2*max_iterations times): one red/black half-sweep.
     `sweep_idx` is static: even = black parity, odd = red
     (BlackPixelUpdate/RedPixelUpdate, ACMMP.cu:1175-1197)."""
+    coh = not (sweep_idx == 0 and _random_init_mode(mode))
+    return sweep_once_dyn(state, inputs, jnp.float32(sweep_idx // 2),
+                          jnp.int32(sweep_idx % 2), key, params, mode,
+                          coherent=coh)
+
+
+def sweep_once_dyn(state: SolverState, inputs: SolverInputs, iteration,
+                   parity_odd, key: jax.Array, params: PatchMatchParams,
+                   mode: Mode, coherent: bool = True) -> SolverState:
+    """`sweep_once` with TRACED iteration/parity: one compiled program
+    covers every coherent half-sweep of a (params, mode, shape), instead
+    of one program per static sweep index — the staged production path
+    compiles 2 sweep programs (incoherent first sweep + the rest) rather
+    than 2*max_iterations. `coherent` stays static (it changes the NCC
+    kernel's K-batching layout, see _sweep)."""
     H, W = inputs.ref_img.shape
     x, y = geo.pixel_grid(H, W)
     vg = ncc_ops.make_view_geometry(inputs.ref_cam, inputs.src_cams)
     black = (x.astype(jnp.int32) + y.astype(jnp.int32)) % 2 == 0
-    parity = black if sweep_idx % 2 == 0 else ~black
-    it = jnp.float32(sweep_idx // 2)
-    coh = not (sweep_idx == 0 and _random_init_mode(mode))
-    return _sweep(state, inputs, vg, x, y, parity, it, key, params, mode,
-                  prop_coherent=coh)
+    parity = jnp.where(jnp.asarray(parity_odd) == 0, black, ~black)
+    return _sweep(state, inputs, vg, x, y, parity,
+                  jnp.asarray(iteration, jnp.float32), key, params, mode,
+                  prop_coherent=coherent)
 
 
 def finalize(state: SolverState, inputs: SolverInputs,
@@ -624,8 +639,10 @@ def run_patchmatch_staged(inputs: SolverInputs, key: jax.Array,
             jax.jit(init_state, static_argnames=("params", "mode")),
             # the previous state is dead after each half-sweep: donating it
             # lets XLA write the new state in place (saves HBM traffic and
-            # peak memory at DTU sizes)
-            jax.jit(sweep_once, static_argnames=("sweep_idx", "params", "mode"),
+            # peak memory at DTU sizes). iteration/parity are traced, so
+            # ONE compiled program serves all coherent half-sweeps.
+            jax.jit(sweep_once_dyn,
+                    static_argnames=("params", "mode", "coherent"),
                     donate_argnums=(0,)),
             jax.jit(finalize, static_argnames=("params",)),
         )
@@ -634,6 +651,7 @@ def run_patchmatch_staged(inputs: SolverInputs, key: jax.Array,
     state = f_init(inputs, k_init, params=params, mode=mode)
     for s in range(2 * params.max_iterations):
         k = jax.random.fold_in(k_sweeps, s)
-        state = f_sweep(state, inputs, sweep_idx=s, key=k, params=params,
-                        mode=mode)
+        coh = not (s == 0 and _random_init_mode(mode))
+        state = f_sweep(state, inputs, jnp.float32(s // 2), jnp.int32(s % 2),
+                        k, params=params, mode=mode, coherent=coh)
     return f_fin(state, inputs, params=params)

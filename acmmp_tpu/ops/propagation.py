@@ -187,8 +187,8 @@ def view_selection(
     weight_norm [H, W], new_selected [H, W, V] bool).
     """
     prior = view_prior(selected, x, y, width_true, height_true, params)
-    return view_selection_core(cost_array, flags, prior, view_mask, key,
-                               iteration, params)
+    return view_selection_core(cost_array, flags, prior, view_mask, x, y,
+                               key, iteration, params)
 
 
 def view_selection_core(
@@ -196,13 +196,16 @@ def view_selection_core(
     flags: jax.Array,        # [8, *grid]
     prior: jax.Array,        # [*grid, V] spatial prior (view_prior)
     view_mask: jax.Array,    # [V] bool
+    x: jax.Array,            # [*grid] GLOBAL pixel coords (RNG counters)
+    y: jax.Array,
     key: jax.Array,
     iteration: int,
     params: PatchMatchParams,
 ):
     """Evidence aggregation + Monte-Carlo view re-sampling over any grid
-    (full image or parity-packed half grid)."""
-    grid = cost_array.shape[1:-1]
+    (full image or parity-packed half grid). Sampling is per-pixel
+    counter-based (ops/pixel_rng.py): the same (key, global pixel) draws
+    the same 15 samples in any execution layout."""
     V = cost_array.shape[-1]
 
     # --- evidence from the 8 candidate hypotheses ---
@@ -232,9 +235,10 @@ def view_selection_core(
     total = jnp.sum(probs, axis=-1, keepdims=True)
     cdf = jnp.cumsum(probs, axis=-1) / jnp.maximum(total, 1e-30)
     cdf = jnp.where(total > 0.0, cdf, -1.0)  # no mass -> never selected
-    u = jax.random.uniform(
-        key, (params.num_view_samples,) + grid, dtype=jnp.float32
-    ) - jnp.finfo(jnp.float32).eps
+    from acmmp_tpu.ops import pixel_rng as prng
+
+    u = prng.uniform_n(key, y, x, 0, params.num_view_samples) - jnp.finfo(
+        jnp.float32).eps
     # first index with cdf > u == number of cdf entries <= u
     idx = jnp.sum(cdf[None] <= u[..., None], axis=-1)       # [S, H, W]
     weights = jnp.sum(

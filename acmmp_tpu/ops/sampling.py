@@ -2,14 +2,21 @@
 
 The reference seeds curand with wall-clock (``curand_init(clock64(), ...)``,
 src/ACMMP.cu:624) making runs non-reproducible by design; here every draw
-comes from a jax.random key threaded through the solver, so runs are exactly
-reproducible. Distributions match the reference:
+is a pure function of (key, global pixel coordinate, salt) via
+ops/pixel_rng.py — exactly reproducible, AND identical across execution
+layouts: the untiled, parity-packed and tile-sharded (parallel/tiles.py)
+solvers draw the same value at the same global pixel, so row-sharding a
+view changes nothing but the device layout. Distributions match the
+reference:
   * random unit normals are uniform on the sphere, flipped to face the
-    camera (GenerateRandomNormal, ACMMP.cu:170-196 — Marsaglia sampling and
-    a normalized Gaussian draw give the same law);
+    camera (GenerateRandomNormal, ACMMP.cu:170-196 — (z, phi) inversion
+    and a normalized Gaussian draw give the same law);
   * perturbed normals rotate by three independent U(-p/2, p/2) Euler angles
     and keep the original when the result faces away
     (GeneratePerturbedNormal, ACMMP.cu:198-233).
+
+Each function takes a distinct jax key (callers split as before); `salt`
+only separates draws made from the SAME key within one function.
 """
 
 from __future__ import annotations
@@ -18,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from acmmp_tpu.core import geometry as geo
+from acmmp_tpu.ops import pixel_rng as prng
 
 
 def random_unit_normal(key, cam: geo.Camera, x, y, depth,
@@ -35,19 +43,18 @@ def random_unit_normal(key, cam: geo.Camera, x, y, depth,
     reference's GPU the same normal costs nothing (texture fetches are
     O(1) per tap regardless of where they land) — this cap exists purely
     because our cost model is scan-extent-based. 0 (default) = exact
-    reference law (and the reference's exact RNG stream shape)."""
-    shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y))
+    reference law."""
     if not min_cos:
-        v = jax.random.normal(key, shape + (3,), dtype=jnp.float32)
-        n = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+        n = prng.sphere_direction(key, y, x, 0)
         return geo.face_camera(cam, x, y, depth, n)
     c = float(min_cos)
+    shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y))
     a = -geo.view_direction(cam, x, y, depth)          # cap axis (unit)
-    ku, kphi = jax.random.split(key)
     # uniform on the cap: cos(theta) ~ U(c, 1), phi ~ U(0, 2pi)
-    ct = jax.random.uniform(ku, shape, jnp.float32, c, 1.0)
+    ct = c + prng.uniform(key, y, x, 0) * (1.0 - c)
+    ct = jnp.broadcast_to(ct, shape)
     st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
-    phi = jax.random.uniform(kphi, shape, jnp.float32, 0.0, 2.0 * jnp.pi)
+    phi = prng.uniform(key, y, x, 1) * (2.0 * jnp.pi)
     # orthonormal basis perpendicular to a (guard the degenerate helper)
     h = jnp.where(jnp.abs(a[..., :1]) < 0.9,
                   jnp.array([1.0, 0.0, 0.0], jnp.float32),
@@ -61,33 +68,39 @@ def random_unit_normal(key, cam: geo.Camera, x, y, depth,
     return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
 
 
-def random_depth(key, depth_min, depth_max, shape,
-                 tile_window: float = 0.0) -> jax.Array:
-    """Per-pixel uniform depth draw.
+# 16 global rows x 128 cols per window tile: the parity-packed hot path
+# evaluates on a half grid where one (8, 128) Pallas tile covers 16 global
+# rows — the window tile is the kernel tile's global footprint, aligned in
+# GLOBAL coordinates so shard origins (multiples of 8 rows) see the same
+# window assignment as the untiled solve.
+WINDOW_TILE_ROWS = 16
+WINDOW_TILE_COLS = 128
 
-    With ``tile_window = f`` in (0, 1], each (8, 128) grid tile draws its
-    OWN random subrange of fraction f of [depth_min, depth_max] and the
-    per-pixel uniforms land inside it. Exploration still covers the full
-    range (a fresh subrange every call/sweep), but the per-tile depth
-    spread — and with it the Pallas kernel's per-tap scan window, which
-    is a per-tile bbox — collapses by ~1/f. This is a documented
+
+def random_depth(key, depth_min, depth_max, y, x,
+                 tile_window: float = 0.0) -> jax.Array:
+    """Per-pixel uniform depth draw (global-coordinate keyed).
+
+    With ``tile_window = f`` in (0, 1], each (16, 128) GLOBAL pixel tile
+    draws its OWN random subrange of fraction f of [depth_min, depth_max]
+    and the per-pixel uniforms land inside it. Exploration still covers
+    the full range (a fresh subrange every call/sweep), but the per-tile
+    depth spread — and with it the Pallas kernel's per-tap scan window,
+    which is a per-tile bbox — collapses by ~1/f. This is a documented
     DEVIATION from the reference's full-range per-pixel draw
     (GenerateRandomPlaneHypothesis, ACMMP.cu:235-241): the per-pixel
     marginal becomes trapezoidal (uniform in the interior, linear ramps
     of width f·range at the two ends — depths within f of the range
     edges are explored at reduced density in any single draw, though
     fresh windows every sweep still cover them). Quality gate:
-    tools/rand_window_ab.py. 0 (default) = exact reference semantics."""
-    u = jax.random.uniform(key, shape, dtype=jnp.float32)
+    tools/rand_window_ab.py + QUALITY.md. 0 = exact reference semantics."""
+    u = prng.uniform(key, y, x, 2)
     if tile_window:
         f = float(tile_window)
-        th = -(-shape[0] // 8)
-        tw = -(-shape[1] // 128)
-        w0 = jax.random.uniform(jax.random.fold_in(key, 0x7717),
-                                (th, tw), dtype=jnp.float32,
-                                minval=0.0, maxval=1.0 - f)
-        w0 = jnp.repeat(jnp.repeat(w0, 8, axis=0), 128, axis=1)
-        u = w0[:shape[0], :shape[1]] + u * f
+        ty = jnp.floor(jnp.asarray(y) * (1.0 / WINDOW_TILE_ROWS))
+        tx = jnp.floor(jnp.asarray(x) * (1.0 / WINDOW_TILE_COLS))
+        w0 = prng.uniform(key, ty, tx, 3) * (1.0 - f)
+        u = w0 + u * f
     return u * (depth_max - depth_min) + depth_min
 
 
@@ -96,8 +109,7 @@ def random_plane(key, cam: geo.Camera, x, y, depth_min, depth_max,
                  min_cos: float = 0.0) -> jax.Array:
     """GenerateRandomPlaneHypothesis (ACMMP.cu:235-241)."""
     kd, kn = jax.random.split(key)
-    shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y))
-    depth = random_depth(kd, depth_min, depth_max, shape, tile_window)
+    depth = random_depth(kd, depth_min, depth_max, y, x, tile_window)
     n = random_unit_normal(kn, cam, x, y, depth, min_cos=min_cos)
     return geo.plane_from_depth_normal(cam, x, y, depth, n)
 
@@ -120,9 +132,8 @@ def _euler_rotation(a1, a2, a3):
 def perturbed_normal(key, cam: geo.Camera, x, y, normal, perturbation) -> jax.Array:
     """Rotate `normal` by three small random Euler angles; keep the original
     where the perturbed normal faces away from the camera."""
-    shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y))
-    angles = (jax.random.uniform(key, shape + (3,), dtype=jnp.float32) - 0.5) * perturbation
-    R = _euler_rotation(angles[..., 0], angles[..., 1], angles[..., 2])
+    angles = (prng.uniform_n(key, y, x, 4, 3) - 0.5) * perturbation
+    R = _euler_rotation(angles[0], angles[1], angles[2])
     rotated = jnp.einsum("...ij,...j->...i", R, normal)
     vd = geo.view_direction(cam, x, y, 1.0)
     bad = jnp.sum(rotated * vd, axis=-1, keepdims=True) >= 0.0

@@ -51,18 +51,30 @@ def make_tile_mesh(n_devices=None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (TILE_AXIS,))
 
 
-def _exchange_halos(arr: jax.Array, n: int):
+def _exchange_halos(arr: jax.Array, n: int, edge_replicate: bool = False):
     """(top_halo, bot_halo) for this shard: the last HALO rows of the upper
     neighbor and the first HALO rows of the lower neighbor. Edge shards get
-    zero halos (their pixels fail the true-bounds checks downstream)."""
+    zero halos (their pixels fail the true-bounds checks downstream) —
+    except with `edge_replicate`, which fills them by replicating the
+    shard's own first/last row: the REF-IMAGE halos must reproduce the
+    untiled solver's edge-clamped taps (DEVIATIONS.md #12 — out-of-image
+    ref taps clamp to the border row), or edge-shard border pixels see
+    zeros where the untiled solve sees the border row (measured: ~9% of
+    pixels diverged, all within ~30 rows of the image top/bottom; interior
+    shards agree BITWISE)."""
     idx = jax.lax.axis_index(TILE_AXIS)
     down = [(i, (i + 1) % n) for i in range(n)]   # my rows -> next shard
     up = [(i, (i - 1) % n) for i in range(n)]
     from_above = jax.lax.ppermute(arr[-HALO:], TILE_AXIS, down)
     from_below = jax.lax.ppermute(arr[:HALO], TILE_AXIS, up)
     shape1 = (1,) * from_above.ndim
-    top = jnp.where((idx > 0).reshape(shape1), from_above, 0)
-    bot = jnp.where((idx < n - 1).reshape(shape1), from_below, 0)
+    if edge_replicate:
+        top_fill = jnp.broadcast_to(arr[:1], from_above.shape)
+        bot_fill = jnp.broadcast_to(arr[-1:], from_below.shape)
+    else:
+        top_fill = bot_fill = jnp.zeros_like(from_above)
+    top = jnp.where((idx > 0).reshape(shape1), from_above, top_fill)
+    bot = jnp.where((idx < n - 1).reshape(shape1), from_below, bot_fill)
     return top.astype(arr.dtype), bot.astype(arr.dtype)
 
 
@@ -99,8 +111,11 @@ def _tile_solve_impl(inputs: SolverInputs, key, params, mode, mesh):
         # engine/patchmatch.py, with tile-origin pixel grids) ----
         from acmmp_tpu.ops import sampling as samp_ops
 
+        # NO per-shard key folding: every random draw is per-pixel
+        # counter-based on GLOBAL coordinates (ops/pixel_rng.py), so
+        # sharing the key across shards reproduces the untiled solver's
+        # stream exactly — halo rows draw their owner shard's values.
         k_init, k_sweeps = jax.random.split(key)
-        k_init = jax.random.fold_in(k_init, idx)
         if mode.seeded:
             planes0 = rows_in.seed_planes
         elif mode.planar_prior:
@@ -112,7 +127,9 @@ def _tile_solve_impl(inputs: SolverInputs, key, params, mode, mesh):
             kd, kn = jax.random.split(k_init)
             p3 = 3.0 * params.prior_init_perturbation
             w0 = rows_in.prior_planes[..., 3]
-            u = jax.random.uniform(kd, (rows, W), dtype=jnp.float32) * 2.0 - 1.0
+            from acmmp_tpu.ops import pixel_rng as prng
+
+            u = prng.uniform(kd, y_l, x_l, 0) * 2.0 - 1.0
             w_pert = w0 * (1.0 + p3 * u)
             n_pert = samp_ops.perturbed_normal(
                 kn, cam, x_l, y_l, rows_in.prior_planes[..., :3],
@@ -134,7 +151,7 @@ def _tile_solve_impl(inputs: SolverInputs, key, params, mode, mesh):
         # clamping at the shard seam (the NCC at pixel p only reads the
         # plane AT p, so the halo plane rows can be anything — zeros here —
         # and their outputs are sliced away)
-        rt0, rb0 = _exchange_halos(ref_rows, Pn)
+        rt0, rb0 = _exchange_halos(ref_rows, Pn, edge_replicate=True)
         ref_e0 = _ext(ref_rows, rt0, rb0)
         planes0_e = jnp.concatenate(
             [jnp.zeros((HALO, W, 4), planes0.dtype), planes0,
@@ -194,7 +211,7 @@ def _tile_solve_impl(inputs: SolverInputs, key, params, mode, mesh):
                          if mode.geom_consistency else None),
             )
             parity = black_e if s % 2 == 0 else ~black_e
-            k = jax.random.fold_in(jax.random.fold_in(k_sweeps, s), idx)
+            k = jax.random.fold_in(k_sweeps, s)
             from acmmp_tpu.engine.patchmatch import _random_init_mode
 
             coh = not (s == 0 and _random_init_mode(mode))
@@ -247,10 +264,13 @@ def tile_sharded_patchmatch(
 ) -> SolverOutputs:
     """Full PatchMatch solve for ONE view with the image rows sharded over
     the mesh — every solver mode (photometric, geometric, hierarchy,
-    planar-prior, seeded). H must be divisible by 8 * mesh size. Matches
-    run_patchmatch up to RNG stream (keys fold in the shard index) and the
-    zero halos at the outer image edges (masked by the true-bounds
-    checks)."""
+    planar-prior, seeded). H must be divisible by 8 * mesh size.
+
+    BITWISE equal to run_patchmatch on the same inputs/key: random draws
+    are per-pixel counter-based on global coordinates (ops/pixel_rng.py),
+    halo rows draw their owner shard's values, and the outer-edge ref
+    halos replicate the border row exactly as the untiled solver's
+    edge-clamped taps do (pinned by tests/test_tiles.py)."""
     H, W = inputs.ref_img.shape
     Pn = mesh.devices.size
     assert H % (8 * Pn) == 0, (H, Pn)

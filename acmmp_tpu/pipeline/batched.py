@@ -25,7 +25,8 @@ from acmmp_tpu.parallel.shmap import shard_map
 
 from acmmp_tpu.config import PatchMatchParams
 from acmmp_tpu.engine.patchmatch import (
-    Mode, SolverInputs, SolverOutputs, finalize, init_state, sweep_once,
+    Mode, SolverInputs, SolverOutputs, _random_init_mode, finalize,
+    init_state, sweep_once_dyn,
 )
 from acmmp_tpu.parallel.sharding import VIEW_AXIS, stack_solver_inputs
 
@@ -55,15 +56,19 @@ class BatchedSolver:
         v_fin = lambda s, i: jax.lax.map(           # noqa: E731
             lambda x: finalize(x[0], x[1], params), (s, i))
 
-        def v_sweep(s, i, k, sweep_idx):
+        # iteration/parity are TRACED (it/par scalars broadcast over the
+        # batch): one compiled sweep program serves every coherent
+        # half-sweep; only `coherent` (static: changes the NCC K-batch
+        # layout) splits the first post-random-init sweep out.
+        def v_sweep(s, i, k, it, par, coherent):
             return jax.lax.map(
-                lambda x: sweep_once(x[0], x[1], sweep_idx, x[2], params,
-                                     mode), (s, i, k))
+                lambda x: sweep_once_dyn(x[0], x[1], it, par, x[2], params,
+                                         mode, coherent=coherent), (s, i, k))
 
         if self.mesh is None:
             fns = (
                 jax.jit(v_init),
-                jax.jit(v_sweep, static_argnames=("sweep_idx",)),
+                jax.jit(v_sweep, static_argnames=("coherent",)),
                 jax.jit(v_fin),
             )
         else:
@@ -80,11 +85,19 @@ class BatchedSolver:
                         check_rep=False)(*args)
                 return wrapped
 
+            def sm_sweep(s, i, k, it, par, coherent):
+                # it/par are replicated scalars: broadcast them into the
+                # shard_map as whole-array (P()) operands
+                fn = partial(v_sweep, coherent=coherent)
+                specs = (_specs(s), _specs(i), _specs(k), P(), P())
+                return shard_map(
+                    lambda *a: fn(*a), mesh=mesh, in_specs=specs,
+                    out_specs=_specs(jax.eval_shape(fn, s, i, k, it, par)),
+                    check_rep=False)(s, i, k, it, par)
+
             fns = (
                 jax.jit(sm(v_init, 2)),
-                jax.jit(lambda s, i, k, sweep_idx: sm(
-                    partial(v_sweep, sweep_idx=sweep_idx), 3)(s, i, k),
-                    static_argnames=("sweep_idx",)),
+                jax.jit(sm_sweep, static_argnames=("coherent",)),
                 jax.jit(sm(v_fin, 2)),
             )
         self._fns[key] = fns
@@ -135,7 +148,10 @@ class BatchedSolver:
 
         state = f_init(batch, k_init)
         for s in range(n_sweeps):
-            state = f_sweep(state, batch, sweep_keys[s], sweep_idx=s)
+            coh = not (s == 0 and _random_init_mode(mode))
+            state = f_sweep(state, batch, sweep_keys[s],
+                            jnp.float32(s // 2), jnp.int32(s % 2),
+                            coherent=coh)
         out = f_fin(state, batch)
         out = jax.tree.map(mh.global_to_host if multiproc else np.asarray,
                            out)

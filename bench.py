@@ -6,6 +6,18 @@ iterations of multi-hypothesis propagation + refinement (each evaluating
 current hypothesis's costs carried), depth extraction and checkerboard
 median — on a photo-consistent synthetic scene.
 
+Timeout-proof output contract (round-3 lesson: an all-or-nothing bench
+lost every number to one slow section):
+  * the headline is measured FIRST and its JSON line printed IMMEDIATELY;
+  * every extra section runs under a total-runtime budget
+    (ACMMP_BENCH_BUDGET_S, default 480 s) and is skipped with a marker
+    when the remaining budget can't cover its estimated cost;
+  * a hard watchdog prints the final JSON (with whatever extras were
+    measured) and exits 0 if the process outlives budget + grace — so a
+    slow compile can delay extras but can never erase the headline;
+  * the final full JSON line is printed again at the end (the driver may
+    parse either the first or last JSON line; both carry the headline).
+
 Methodology (per CLAUDE.md: host-side timings through the axon tunnel are
 unreliable at sub-ms scale):
   * headline (320x240, 4 src): the fused single-program solve repeated
@@ -14,7 +26,9 @@ unreliable at sub-ms scale):
     3 timed calls reported (median is the headline);
   * large shape (640x480, 0.307 Mpx): the staged production path (the
     scheduler ships staged above ~0.3 Mpx because XLA:TPU faults on the
-    fused multi-sweep program there), host loop over 3 distinct solves;
+    fused multi-sweep program there), host loop over distinct solves;
+  * DTU operating point (1600x1184, 8 src): staged path, shipping
+    defaults, plus the exact-reference-semantics variant for comparison;
   * geometric mode (320x240): staged, with source depth maps.
 
 Baseline: BASELINE.md §"Throughput baseline derivation" — the reference
@@ -22,12 +36,13 @@ publishes no numbers; 10 maps/s is the reference-favorable pin of a
 [3, 13] maps/s workload-model bracket for its CUDA kernel on the GTX
 1080 Ti it was tested on (src/README.md:17-20).
 
-Prints ONE JSON line:
+Prints the headline JSON line immediately, then ONE final JSON line:
   {"metric": ..., "value": N, "unit": "maps/s", "vs_baseline": N,
    "extra": {...}}
 """
 
 import json
+import os
 import time
 
 BASELINE_MAPS_PER_S = 10.0   # see BASELINE.md: throughput baseline derivation
@@ -38,23 +53,60 @@ TIMED_CALLS = 3
 H2, W2 = 480, 640            # staged-path shape (>= 0.3 Mpx)
 REPS2 = 3
 
+_START = time.monotonic()
+BUDGET_S = float(os.environ.get("ACMMP_BENCH_BUDGET_S", "480"))
 
-def _inputs(width, height, params, n_views=V1):
-    from acmmp_tpu.engine.inputs import build_solver_inputs
-    from acmmp_tpu.utils.synth import textured_plane_scene
+# Shared result state: the watchdog and the normal exit path both print
+# from here, so a stall mid-extra still flushes everything measured.
+RESULT = {
+    "metric": f"patchmatch_{W}x{H}_v{V1 - 1}_depth_maps_per_s",
+    "value": None,
+    "unit": "maps/s",
+    "vs_baseline": None,
+    "extra": {},
+}
 
-    images, cams, _ = textured_plane_scene(
-        n_views=n_views, width=width, height=height, f=600.0 * width / 320.0,
-        plane_z=5.0)
-    return build_solver_inputs(images[0], images[1:], cams[0], cams[1:],
-                               params)
+
+def _elapsed():
+    return time.monotonic() - _START
+
+
+def _remaining():
+    return BUDGET_S - _elapsed()
+
+
+def _print_result():
+    print(json.dumps(RESULT), flush=True)
+
+
+def _budget_watchdog(grace_s: float = 45.0):
+    """If the process outlives BUDGET_S + grace (slow compile, hung
+    tunnel mid-extra), flush the current RESULT and exit 0 — the headline
+    must survive any single slow section."""
+    import threading
+
+    def _fire():
+        RESULT["extra"]["watchdog"] = (
+            f"flushed at {_elapsed():.0f}s (budget {BUDGET_S:.0f}s)")
+        if RESULT["value"] is not None:
+            _print_result()
+            os._exit(0)
+        print(json.dumps({
+            "metric": RESULT["metric"],
+            "error": f"headline not measured within {BUDGET_S + grace_s:.0f}s",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(BUDGET_S + grace_s, _fire)
+    t.daemon = True
+    t.start()
+    return t
 
 
 def _device_watchdog(timeout_s: float = 300.0):
     """Fail fast (with a diagnosable message) when the axon tunnel is down:
     jax.devices() then blocks forever inside backend init with no error.
     The watchdog fires only if the flag file isn't touched in time."""
-    import os
     import threading
 
     state = {"ok": False}
@@ -62,7 +114,7 @@ def _device_watchdog(timeout_s: float = 300.0):
     def _fire():
         if not state["ok"]:
             print(json.dumps({
-                "metric": "patchmatch_320x240_v4_depth_maps_per_s",
+                "metric": RESULT["metric"],
                 "error": f"TPU device acquisition exceeded {timeout_s:.0f}s "
                          "— axon tunnel down? (jax.devices() hangs with no "
                          "error when the tunnel is unreachable)",
@@ -80,9 +132,17 @@ def _device_watchdog(timeout_s: float = 300.0):
     return _disarm
 
 
-def main():
-    import os
+def _section(name: str, est_cost_s: float):
+    """Budget gate: returns True when the remaining budget covers the
+    section's estimated cost; otherwise records a skip marker."""
+    if _remaining() < est_cost_s:
+        RESULT["extra"][name] = (
+            f"skipped: budget ({_remaining():.0f}s left < {est_cost_s:.0f}s est)")
+        return False
+    return True
 
+
+def main():
     import jax
     import jax.numpy as jnp
 
@@ -91,20 +151,30 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    _budget_watchdog()
     disarm = _device_watchdog()
     jax.devices()
     disarm()
 
     from acmmp_tpu.config import PatchMatchParams
+    from acmmp_tpu.engine.inputs import build_solver_inputs
     from acmmp_tpu.engine.patchmatch import (
         Mode, run_patchmatch, run_patchmatch_staged,
     )
+    from acmmp_tpu.utils.synth import textured_plane_scene
 
-    params = PatchMatchParams()
+    def _inputs(width, height, params, n_views=V1):
+        images, cams, _ = textured_plane_scene(
+            n_views=n_views, width=width, height=height,
+            f=600.0 * width / 320.0, plane_z=5.0)
+        return build_solver_inputs(images[0], images[1:], cams[0], cams[1:],
+                                   params)
+
+    params = PatchMatchParams()   # shipping defaults
     mode = Mode()
-    extra = {}
+    extra = RESULT["extra"]
 
-    # --- headline: fused solver, in-program repetition ---
+    # ---- HEADLINE: fused solver, in-program repetition, shipping defaults
     inputs = _inputs(W, H, params)
 
     @jax.jit
@@ -124,142 +194,156 @@ def main():
         rates.append(REPS / (time.perf_counter() - t0))
     rates.sort()
     maps_per_s = rates[len(rates) // 2]
+    RESULT["value"] = round(maps_per_s, 4)
+    RESULT["vs_baseline"] = round(maps_per_s / BASELINE_MAPS_PER_S, 4)
     extra["headline_reps"] = [round(r, 4) for r in rates]
+    _print_result()   # the headline survives whatever happens below
 
-    # headline shape with the opt-in random-search deviations ON
-    # (DEVIATIONS.md #18 f=1/8 + #19 c=0.25) — the exact-semantics number
-    # above stays the headline; this shows what the deviations buy there.
-    params_wh = PatchMatchParams(rand_depth_tile_window=0.125,
-                                 rand_normal_min_cos=0.25)
+    # ---- extras, cheapest first, each behind a budget gate ----
 
-    @jax.jit
-    def fused_many_w(keys):
-        def body(c, k):
-            out = run_patchmatch(inputs, k, params=params_wh, mode=mode)
-            return c + jnp.mean(out.depth), None
-        tot, _ = jax.lax.scan(body, jnp.float32(0.0), keys)
-        return tot
+    # exact-reference-semantics headline variant (deviations #18/#19 off),
+    # for the shipping-defaults vs exact-semantics comparison
+    exact = PatchMatchParams(rand_depth_tile_window=0.0,
+                             rand_normal_min_cos=0.0)
+    if (exact != params and _section("headline_exact_maps_per_s", 90)):
+        t_sec = time.monotonic()
 
-    float(fused_many_w(keys))
-    rates_w = []
-    for _ in range(TIMED_CALLS):
-        t0 = time.perf_counter()
-        float(fused_many_w(keys))
-        rates_w.append(REPS / (time.perf_counter() - t0))
-    rates_w.sort()
-    extra["headline_win8cap_maps_per_s"] = round(
-        rates_w[len(rates_w) // 2], 4)
+        @jax.jit
+        def fused_many_e(keys):
+            def body(c, k):
+                out = run_patchmatch(inputs, k, params=exact, mode=mode)
+                return c + jnp.mean(out.depth), None
+            tot, _ = jax.lax.scan(body, jnp.float32(0.0), keys)
+            return tot
 
-    # --- staged production path at >= 0.3 Mpx ---
-    inputs2 = _inputs(W2, H2, params)
-    k = jax.random.key(3)
-    jax.block_until_ready(
-        run_patchmatch_staged(inputs2, k, params=params, mode=mode))
-    t0 = time.perf_counter()
-    for i in range(REPS2):
+        float(fused_many_e(keys))
+        rates_e = []
+        for _ in range(TIMED_CALLS):
+            t0 = time.perf_counter()
+            float(fused_many_e(keys))
+            rates_e.append(REPS / (time.perf_counter() - t0))
+        rates_e.sort()
+        extra["headline_exact_maps_per_s"] = round(
+            rates_e[len(rates_e) // 2], 4)
+        extra["headline_exact_s"] = round(time.monotonic() - t_sec, 1)
+
+    # geometric-consistency mode (staged) at the headline shape
+    if _section("geom_section", 90):
+        t_sec = time.monotonic()
+        gmode = Mode(geom_consistency=True)
+        out = run_patchmatch_staged(inputs, jax.random.key(5), params=params,
+                                    mode=mode)
+        Hs, Ws = inputs.src_imgs.shape[-2:]
+        depth = out.depth
+        src_depths = jnp.broadcast_to(
+            jnp.pad(depth,
+                    ((0, Hs - depth.shape[0]), (0, Ws - depth.shape[1])),
+                    mode="edge"),
+            (V1 - 1, Hs, Ws))
+        ginputs = inputs._replace(
+            src_depths=src_depths, init_depth=out.depth,
+            init_normal_world=out.normal_world, init_cost=out.cost)
         jax.block_until_ready(run_patchmatch_staged(
-            inputs2, jax.random.fold_in(k, i), params=params, mode=mode))
-    extra[f"staged_{W2}x{H2}_maps_per_s"] = round(
-        REPS2 / (time.perf_counter() - t0), 4)
+            ginputs, jax.random.key(6), params=params, mode=gmode))
+        t0 = time.perf_counter()
+        for i in range(REPS2):
+            jax.block_until_ready(run_patchmatch_staged(
+                ginputs, jax.random.fold_in(jax.random.key(6), i),
+                params=params, mode=gmode))
+        extra[f"geom_{W}x{H}_maps_per_s"] = round(
+            REPS2 / (time.perf_counter() - t0), 4)
+        extra["geom_section_s"] = round(time.monotonic() - t_sec, 1)
 
-    # --- DTU operating point: the reference's finest scale is ~1600x1184
+    # staged production path at >= 0.3 Mpx
+    if _section("staged_mid_section", 90):
+        t_sec = time.monotonic()
+        inputs2 = _inputs(W2, H2, params)
+        k = jax.random.key(3)
+        jax.block_until_ready(
+            run_patchmatch_staged(inputs2, k, params=params, mode=mode))
+        t0 = time.perf_counter()
+        for i in range(REPS2):
+            jax.block_until_ready(run_patchmatch_staged(
+                inputs2, jax.random.fold_in(k, i), params=params, mode=mode))
+        extra[f"staged_{W2}x{H2}_maps_per_s"] = round(
+            REPS2 / (time.perf_counter() - t0), 4)
+        extra["staged_mid_section_s"] = round(time.monotonic() - t_sec, 1)
+
+    # ---- DTU operating point: the reference's finest scale is ~1600x1184
     # (max dim 3200 capped, halved once to >= the 1000 size bound,
     # /root/reference/src/acmmp_definitions.cpp:207-243) with up to ~8-20
     # source views. Staged path (fused is gated off above 1280x960 —
-    # engine/patchmatch.py FUSED_MAX_PIXELS); exercises the
-    # one-view-resident + single-phase kernel layout. ---
+    # engine/patchmatch.py FUSED_MAX_PIXELS). Shipping defaults.
     HD, WD, VD = 1184, 1600, 9          # 1 ref + 8 src
-    inputs_d = _inputs(WD, HD, params, n_views=VD)
-    kd = jax.random.key(9)
-    out_d = run_patchmatch_staged(inputs_d, kd, params=params, mode=mode)
-    jax.block_until_ready(out_d)
-    t0 = time.perf_counter()
-    for i in range(2):
-        out_d = run_patchmatch_staged(
-            inputs_d, jax.random.fold_in(kd, i), params=params, mode=mode)
+    out_d = None
+    inputs_d = None
+    if _section("staged_1600x1184_v8_maps_per_s", 150):
+        t_sec = time.monotonic()
+        inputs_d = _inputs(WD, HD, params, n_views=VD)
+        kd = jax.random.key(9)
+        out_d = run_patchmatch_staged(inputs_d, kd, params=params, mode=mode)
         jax.block_until_ready(out_d)
-    extra["staged_1600x1184_v8_maps_per_s"] = round(
-        2 / (time.perf_counter() - t0), 4)
+        t0 = time.perf_counter()
+        out_d = run_patchmatch_staged(
+            inputs_d, jax.random.fold_in(kd, 0), params=params, mode=mode)
+        jax.block_until_ready(out_d)
+        extra["staged_1600x1184_v8_maps_per_s"] = round(
+            1 / (time.perf_counter() - t0), 4)
+        extra["staged_dtu_section_s"] = round(time.monotonic() - t_sec, 1)
+        _print_result()   # checkpoint: DTU number now survives later stalls
 
-    # Same operating point with the opt-in random-search deviations ON
-    # (DEVIATIONS.md #18 tile-windowed random depth f=1/8 + #19 capped
-    # normal obliquity c=0.25): the full-range/grazing-normal scan
-    # windows are the dominant scale-dependent kernel cost, so this
-    # measures what --rand_depth_window/--rand_normal_cos buy at DTU
-    # scale.
-    params_w = PatchMatchParams(rand_depth_tile_window=0.125,
-                                rand_normal_min_cos=0.25)
-    out_w = run_patchmatch_staged(inputs_d, kd, params=params_w, mode=mode)
-    jax.block_until_ready(out_w)
-    t0 = time.perf_counter()
-    for i in range(2):
-        jax.block_until_ready(run_patchmatch_staged(
-            inputs_d, jax.random.fold_in(kd, i), params=params_w, mode=mode))
-    extra["staged_1600x1184_v8_win8cap_maps_per_s"] = round(
-        2 / (time.perf_counter() - t0), 4)
-
-    # --- fusion per-view program at the DTU scale: project 1.9 Mpx into 8
+    # fusion per-view program at the DTU scale: project 1.9 Mpx into 8
     # source views, sample depth+normal maps (Pallas coherent sampler),
-    # threshold + score + consume (engine/fusion.py _fuse_view_plain) ---
-    from acmmp_tpu.config import FusionParams
-    from acmmp_tpu.engine.fusion import _fuse_view_plain_jit
+    # threshold + score + consume (engine/fusion.py _fuse_view_plain)
+    if out_d is not None and _section("fusion_view_1600x1184_v8_ms", 90):
+        t_sec = time.monotonic()
+        from acmmp_tpu.config import FusionParams
+        from acmmp_tpu.engine.fusion import _fuse_view_plain_jit
 
-    fp = FusionParams()
-    Hs, Ws = inputs_d.src_imgs.shape[-2:]
-    Hd, Wd = inputs_d.ref_img.shape
-    depth_d = out_d.depth
-    normal_d = out_d.normal_world
-    src_depths = jnp.broadcast_to(
-        jnp.pad(depth_d, ((0, Hs - Hd), (0, Ws - Wd)), mode="edge"),
-        (VD - 1, Hs, Ws))
-    src_normals = jnp.broadcast_to(
-        jnp.pad(normal_d, ((0, Hs - Hd), (0, Ws - Wd), (0, 0)),
-                mode="edge"), (VD - 1, Hs, Ws, 3))
-    fuse_kw = dict(
-        ref_depth=depth_d, ref_normal=normal_d,
-        ref_mask=jnp.zeros((Hd, Wd), jnp.bool_),
-        ref_cam=inputs_d.ref_cam, src_cams=inputs_d.src_cams,
-        src_depths=src_depths, src_normals=src_normals,
-        src_masks=jnp.zeros((VD - 1, Hs, Ws), jnp.bool_),
-        view_mask=inputs_d.view_mask)
-    jax.block_until_ready(_fuse_view_plain_jit(fp=fp, **fuse_kw))
-    t0 = time.perf_counter()
-    for _ in range(3):
+        fp = FusionParams()
+        Hs, Ws = inputs_d.src_imgs.shape[-2:]
+        Hd, Wd = inputs_d.ref_img.shape
+        depth_d = out_d.depth
+        normal_d = out_d.normal_world
+        src_depths = jnp.broadcast_to(
+            jnp.pad(depth_d, ((0, Hs - Hd), (0, Ws - Wd)), mode="edge"),
+            (VD - 1, Hs, Ws))
+        src_normals = jnp.broadcast_to(
+            jnp.pad(normal_d, ((0, Hs - Hd), (0, Ws - Wd), (0, 0)),
+                    mode="edge"), (VD - 1, Hs, Ws, 3))
+        fuse_kw = dict(
+            ref_depth=depth_d, ref_normal=normal_d,
+            ref_mask=jnp.zeros((Hd, Wd), jnp.bool_),
+            ref_cam=inputs_d.ref_cam, src_cams=inputs_d.src_cams,
+            src_depths=src_depths, src_normals=src_normals,
+            src_masks=jnp.zeros((VD - 1, Hs, Ws), jnp.bool_),
+            view_mask=inputs_d.view_mask)
         jax.block_until_ready(_fuse_view_plain_jit(fp=fp, **fuse_kw))
-    extra["fusion_view_1600x1184_v8_ms"] = round(
-        (time.perf_counter() - t0) / 3 * 1e3, 2)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            jax.block_until_ready(_fuse_view_plain_jit(fp=fp, **fuse_kw))
+        extra["fusion_view_1600x1184_v8_ms"] = round(
+            (time.perf_counter() - t0) / 3 * 1e3, 2)
+        extra["fusion_section_s"] = round(time.monotonic() - t_sec, 1)
 
-    # --- geometric-consistency mode (staged) ---
-    from acmmp_tpu.engine.patchmatch import SolverOutputs  # noqa: F401
-    gmode = Mode(geom_consistency=True)
-    out = run_patchmatch_staged(inputs, jax.random.key(5), params=params,
-                                mode=mode)
-    Hs, Ws = inputs.src_imgs.shape[-2:]
-    depth = out.depth
-    src_depths = jnp.broadcast_to(
-        jnp.pad(depth, ((0, Hs - depth.shape[0]), (0, Ws - depth.shape[1])),
-                mode="edge"),
-        (V1 - 1, Hs, Ws))
-    ginputs = inputs._replace(
-        src_depths=src_depths, init_depth=out.depth,
-        init_normal_world=out.normal_world, init_cost=out.cost)
-    jax.block_until_ready(run_patchmatch_staged(
-        ginputs, jax.random.key(6), params=params, mode=gmode))
-    t0 = time.perf_counter()
-    for i in range(REPS2):
+    # DTU operating point, exact-reference-semantics variant (deviations
+    # #18/#19 off): what the shipping defaults buy at DTU scale
+    if (exact != params and inputs_d is not None
+            and _section("staged_1600x1184_v8_exact_maps_per_s", 150)):
+        t_sec = time.monotonic()
+        kd = jax.random.key(9)
         jax.block_until_ready(run_patchmatch_staged(
-            ginputs, jax.random.fold_in(jax.random.key(6), i),
-            params=params, mode=gmode))
-    extra[f"geom_{W}x{H}_maps_per_s"] = round(
-        REPS2 / (time.perf_counter() - t0), 4)
+            inputs_d, kd, params=exact, mode=mode))
+        t0 = time.perf_counter()
+        jax.block_until_ready(run_patchmatch_staged(
+            inputs_d, jax.random.fold_in(kd, 0), params=exact, mode=mode))
+        extra["staged_1600x1184_v8_exact_maps_per_s"] = round(
+            1 / (time.perf_counter() - t0), 4)
+        extra["staged_dtu_exact_section_s"] = round(
+            time.monotonic() - t_sec, 1)
 
-    print(json.dumps({
-        "metric": f"patchmatch_{W}x{H}_v{V1 - 1}_depth_maps_per_s",
-        "value": round(maps_per_s, 4),
-        "unit": "maps/s",
-        "vs_baseline": round(maps_per_s / BASELINE_MAPS_PER_S, 4),
-        "extra": extra,
-    }))
+    extra["total_s"] = round(_elapsed(), 1)
+    _print_result()
 
 
 if __name__ == "__main__":

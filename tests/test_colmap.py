@@ -9,6 +9,10 @@ from acmmp_tpu.io.colmap import convert_colmap, qvec2rotmat, rotmat2qvec
 from acmmp_tpu.io.dense_folder import read_cam_txt, read_pair_txt
 from tests.util import textured_plane_scene
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
 
 def test_qvec_roundtrip():
     rng = np.random.default_rng(0)

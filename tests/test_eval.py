@@ -5,6 +5,10 @@ import numpy as np
 from acmmp_tpu.eval.dtu import dtu_metrics, reduce_points
 from acmmp_tpu.eval.stats import MetricTable, holm_correction, paired_tests
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
 
 def test_perfect_reconstruction():
     rng = np.random.default_rng(0)

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 from acmmp_tpu.core import geometry as geo
 from tests.util import look_at_camera, textured_plane_scene
 
+pytestmark = pytest.mark.fast
+
 
 @pytest.fixture
 def cam():

@@ -8,6 +8,10 @@ from acmmp_tpu.io import (
 )
 from tests.util import look_at_camera
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
 
 def test_dmb_roundtrip_depth(tmp_path):
     arr = np.random.default_rng(0).normal(size=(7, 5)).astype(np.float32)

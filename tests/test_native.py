@@ -10,6 +10,8 @@ from acmmp_tpu import native
 from acmmp_tpu.io.dmb import read_dmb, write_dmb
 from acmmp_tpu.io.ply import read_ply, write_ply
 
+pytestmark = pytest.mark.fast
+
 requires_native = pytest.mark.skipif(
     native.get_lib() is None, reason="native library unavailable (no g++?)")
 

@@ -3,6 +3,7 @@
 import functools
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -23,6 +24,7 @@ def _solve(images, cams, mode=Mode(), seed=0, **kw):
     return jax.tree.map(np.asarray, out), inp
 
 
+@pytest.mark.fast  # the fast subset's one tiny end-to-end solver path
 def test_photometric_recovers_plane():
     images, cams, plane_z = textured_plane_scene(n_views=4, width=64, height=48)
     out, _ = _solve(images, cams)

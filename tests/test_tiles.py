@@ -86,12 +86,10 @@ def test_pipeline_dispatches_tile_sharding(tmp_path, monkeypatch):
             dense, "ACMMP", f"2333_{v:08d}", "depths_geom.dmb"))
         d_u = read_dmb(os.path.join(
             dense, "ACMMP_U", f"2333_{v:08d}", "depths_geom.dmb"))
-        e_t = np.median(np.abs(d_t - plane_z))
-        e_u = np.median(np.abs(d_u - plane_z))
-        # tiled shards fold their index into the RNG stream, so maps
-        # differ in noise, not structure (2x seam tolerance as in the
-        # solver-level test; measured ratios 0.7-1.6x)
-        assert e_t < max(2.0 * e_u, 0.1), (v, e_t, e_u)
+        # per-pixel counter-based RNG (ops/pixel_rng.py) + edge-replicated
+        # ref halos make the tile-sharded solve reproduce the untiled
+        # pipeline's depth maps EXACTLY — every pass, every view
+        np.testing.assert_array_equal(d_t, d_u, err_msg=f"view {v}")
 
 
 def _scene_and_inputs(n_dev, **input_kw):
@@ -169,21 +167,16 @@ def test_tile_sharded_recovers_plane():
         inputs, jax.random.key(0), params=PARAMS, mode=Mode())
     ref_depth = np.asarray(ref.depth)[:H, :128]
 
+    # per-pixel counter-based RNG keyed on GLOBAL coordinates
+    # (ops/pixel_rng.py: halo rows draw their owner's values, no per-shard
+    # key folding) + edge-replicated ref-image halos (the untiled solver's
+    # edge-clamped taps, DEVIATIONS.md #12) make the tile-sharded solve
+    # BITWISE equal to the unsharded one — no seam tolerance at all.
+    # (Replaces the r3 "2x seam ratio" pin; measured mismatch fraction 0.)
+    np.testing.assert_array_equal(depth, ref_depth)
+    np.testing.assert_array_equal(np.asarray(out.cost), np.asarray(ref.cost))
+
     interior = np.s_[6:H - 6, 12:116]
     err = np.abs(depth[interior] - plane_z)
-    ref_err = np.abs(ref_depth[interior] - plane_z)
     assert np.median(err) < 0.15, np.median(err)
-    assert np.median(err) < max(2.0 * np.median(ref_err), 0.1)
     assert (err < 0.5).mean() > 0.8, (err < 0.5).mean()
-    # shard boundaries must not show seams: rows around each boundary stay
-    # as accurate as the interior at large (init taps are halo-extended, so
-    # the seam rows see the same data an unsharded solve would)
-    rows = H // n_dev
-    for b in range(1, n_dev):
-        band = np.abs(depth[b * rows - 3:b * rows + 3, 12:116] - plane_z)
-        # 2x the interior median (the shards fold their index into the RNG
-        # stream, so seam pixels sample different candidates than an
-        # unsharded run; with halo-extended init taps the remaining gap is
-        # convergence noise, not missing data — was 0.3 flat pre-fix)
-        assert np.median(band) < max(2.0 * np.median(err), 0.1), (
-            b, np.median(band), np.median(err))

@@ -1,0 +1,141 @@
+"""Full-scale quality artifact: one real `run_pipeline` on the TPU over a
+synthetic scene with EXACT analytic ground truth, scored by the DTU
+protocol (eval/dtu.py — the stand-in for BASELINE.md's DTU parity bar;
+protocol shape: /root/reference/python_scripts/matlab_analysis.py:35-103).
+
+Scene: the non-planar textured relief height-field
+(utils/synth.textured_relief_scene) at >= 1280x960 with >= 5 source
+views; the multi-scale planner gives 2 scales at this size (coarse
+pass + JBU upsample + fine pass), and fusion produces the cloud that is
+scored. Ground truth is the analytic surface sampled densely over the
+reconstruction's own bounding region.
+
+Units: the synthetic scene lives at depth ~5 (dimensionless). DTU
+thresholds are mm at ~600-900 mm depth, so clouds are scaled by
+SCALE=150 before scoring (depth 5 -> 750 "mm", pixel footprint at
+f=2400: 750/2400 ~ 0.31 mm/px — the DTU class) and the standard
+acc/cmp@{0.5,2,5,10} mm cuts apply as-is.
+
+Writes one JSON line to stdout and (with --out) a metrics file.
+Usage: python tools/fullscale_quality.py [--width 1280 --height 960]
+       [--views 6] [--geom_iters 2] [--out QUALITY_fullscale.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+SCALE = 150.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--height", type=int, default=960)
+    ap.add_argument("--views", type=int, default=6)
+    ap.add_argument("--geom_iters", type=int, default=2)
+    ap.add_argument("--out", default="")
+    ap.add_argument("--dense", default="", help="reuse/keep dense folder")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import tempfile
+
+    from PIL import Image as PILImage
+
+    from acmmp_tpu.config import PipelineConfig
+    from acmmp_tpu.io.dense_folder import write_cam_txt, write_pair_txt
+    from acmmp_tpu.pipeline.scheduler import run_pipeline
+    from acmmp_tpu.utils.synth import textured_relief_scene
+
+    W, H, V = args.width, args.height, args.views
+    f = 140.0 * W / 96.0
+    t0 = time.monotonic()
+    images, cams, gt_depth0 = textured_relief_scene(
+        n_views=V, width=W, height=H, f=f)
+    print(f"scene rendered in {time.monotonic() - t0:.1f}s", flush=True)
+
+    dense = args.dense or tempfile.mkdtemp(prefix="acmmp_fullscale_")
+    if not os.path.exists(os.path.join(dense, "pair.txt")):
+        os.makedirs(os.path.join(dense, "images"), exist_ok=True)
+        os.makedirs(os.path.join(dense, "cams"), exist_ok=True)
+        pairs = []
+        for i in range(V):
+            PILImage.fromarray(
+                np.clip(images[i], 0, 255).astype(np.uint8)).save(
+                os.path.join(dense, "images", f"{i:08d}.jpg"), quality=98)
+            write_cam_txt(os.path.join(dense, "cams", f"{i:08d}_cam.txt"),
+                          cams[i])
+            pairs.append((i, [(j, 100.0) for j in range(V) if j != i]))
+        write_pair_txt(os.path.join(dense, "pair.txt"), pairs)
+
+    cfg = PipelineConfig(geom_iterations=args.geom_iters)
+    t0 = time.monotonic()
+    ply = run_pipeline(dense, cfg)
+    wall = time.monotonic() - t0
+
+    # ground truth: the analytic surface sampled on a fine world grid over
+    # the reconstructed region (the relief's own z_surf law, synth.py)
+    base_z, amp = 5.0, 0.35
+
+    def z_surf(xw, yw):
+        return base_z + amp * (np.sin(1.1 * xw) * np.cos(0.9 * yw)
+                               + 0.5 * np.sin(2.3 * xw + 1.0))
+
+    # every view's frustum footprint at the surface (the fused cloud spans
+    # all views) — per-view ray casts, concatenated; dtu_metrics'
+    # reduce_points dedups the overlap
+    gt_parts = []
+    for cam_i in cams:
+        xs = np.linspace(0, W - 1, 1280)
+        ys = np.linspace(0, H - 1, 960)
+        Xg, Yg = np.meshgrid(xs, ys)
+        dirs = np.stack([(Xg - cam_i.K[0, 2]) / cam_i.K[0, 0],
+                         (Yg - cam_i.K[1, 2]) / cam_i.K[1, 1],
+                         np.ones_like(Xg)], axis=-1)
+        dirs_w = dirs @ cam_i.R
+        center = -cam_i.R.T @ cam_i.t
+        s = (base_z - center[2]) / dirs_w[..., 2]
+        for _ in range(30):
+            p = center[None, None] + s[..., None] * dirs_w
+            g = p[..., 2] - z_surf(p[..., 0], p[..., 1])
+            s = s - 0.8 * g / dirs_w[..., 2]
+        gt_parts.append(
+            (center[None, None] + s[..., None] * dirs_w).reshape(-1, 3))
+    gt_pts = np.concatenate(gt_parts)
+
+    from acmmp_tpu.eval.dtu import dtu_metrics
+    from acmmp_tpu.io.ply import read_ply
+
+    recon_pts, _, _ = read_ply(ply)
+    metrics = dtu_metrics(np.asarray(recon_pts, np.float64) * SCALE,
+                          gt_pts * SCALE, dst=0.2)
+    result = {
+        "tool": "fullscale_quality",
+        "shape": f"{W}x{H}", "views": V, "geom_iters": args.geom_iters,
+        "pipeline_wall_s": round(wall, 1),
+        "ply": ply,
+        "metrics": {k: round(float(v), 4) for k, v in metrics.items()},
+        "scale_to_mm": SCALE,
+    }
+    print(json.dumps(result), flush=True)
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(result, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()

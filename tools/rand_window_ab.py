@@ -16,6 +16,12 @@ well as the mid-range default.
 
 Usage: python tools/rand_window_ab.py [--height 240 --width 320 --views 4]
        [--windows 0,0.25,0.125] [--seeds 4] [--plane_z 5.0] [--cpu]
+       [--scene plane|relief] [--json out.json]
+
+`--scene relief` swaps in the non-planar height-field fixture
+(utils/synth.textured_relief_scene) and scores against its analytic
+ground-truth depth — propagation/refinement work much harder there, so
+it is the stronger quality gate for the exploration-law deviations.
 """
 
 import argparse
@@ -52,18 +58,31 @@ def main():
                     help="run on CPU (quality-only; timings meaningless)")
     ap.add_argument("--geom", action="store_true",
                     help="also run one geometric pass per seed")
+    ap.add_argument("--scene", default="plane", choices=["plane", "relief"])
+    ap.add_argument("--json", default="",
+                    help="append one JSON line per variant to this file")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    import json
+
     from acmmp_tpu.config import PatchMatchParams
     from acmmp_tpu.engine.inputs import build_solver_inputs
     from acmmp_tpu.engine.patchmatch import Mode, run_patchmatch_staged
-    from acmmp_tpu.utils.synth import textured_plane_scene
+    from acmmp_tpu.utils.synth import (
+        textured_plane_scene, textured_relief_scene,
+    )
 
-    images, cams, plane_z = textured_plane_scene(
-        n_views=args.views + 1, width=args.width, height=args.height,
-        f=600.0 * args.width / 320.0, plane_z=args.plane_z)
+    if args.scene == "plane":
+        images, cams, plane_z = textured_plane_scene(
+            n_views=args.views + 1, width=args.width, height=args.height,
+            f=600.0 * args.width / 320.0, plane_z=args.plane_z)
+        gt = np.full((args.height, args.width), plane_z, np.float32)
+    else:
+        images, cams, gt = textured_relief_scene(
+            n_views=args.views + 1, width=args.width, height=args.height,
+            f=140.0 * args.width / 96.0)
 
     H, W = args.height, args.width
     interior = np.s_[8:H - 8, 8:W - 8]
@@ -85,15 +104,29 @@ def main():
                 jax.block_until_ready(out)
                 times.append(time.perf_counter() - t0)
                 d = np.asarray(out.depth)[:H, :W][interior]
-                e = np.abs(d - plane_z)
+                e = np.abs(d - gt[interior])
                 errs.append(float(np.median(e)))
                 inliers.append(float((e < 0.1).mean()))
+            rec = {
+                "scene": args.scene, "h": H, "w": W, "views": args.views,
+                "plane_z": args.plane_z if args.scene == "plane" else None,
+                "window": w, "min_cos": mc,
+                "median_err": round(float(np.mean(errs)), 5),
+                "median_err_std": round(float(np.std(errs)), 5),
+                "inliers_0.1": round(float(np.mean(inliers)), 4),
+                "inliers_std": round(float(np.std(inliers)), 4),
+                "ms_per_solve": round(
+                    float(np.mean(times[1:] or times)) * 1e3, 1),
+            }
             print(f"window={w:6.3f} min_cos={mc:5.2f}: median_err "
-                  f"{np.mean(errs):.4f} +- {np.std(errs):.4f}   "
-                  f"inliers@0.1 {np.mean(inliers):.3f} +- "
-                  f"{np.std(inliers):.3f}  "
-                  f" {np.mean(times[1:] or times) * 1e3:8.1f} ms/solve",
+                  f"{rec['median_err']:.4f} +- {rec['median_err_std']:.4f}   "
+                  f"inliers@0.1 {rec['inliers_0.1']:.3f} +- "
+                  f"{rec['inliers_std']:.3f}  "
+                  f" {rec['ms_per_solve']:8.1f} ms/solve",
                   flush=True)
+            if args.json:
+                with open(args.json, "a") as fh:
+                    fh.write(json.dumps(rec) + "\n")
 
 
 if __name__ == "__main__":
