@@ -56,8 +56,12 @@ def _cfg_from_args(args, prior: bool) -> PipelineConfig:
         fusion_view_cache=getattr(args, "fusion_view_cache", 0),
         patchmatch=PatchMatchParams(
             max_image_size=getattr(args, "max_image_size", 3200),
-            rand_depth_tile_window=getattr(args, "rand_depth_window", 0.0),
-            rand_normal_min_cos=getattr(args, "rand_normal_cos", 0.0),
+            rand_depth_tile_window=getattr(
+                args, "rand_depth_window",
+                PatchMatchParams.rand_depth_tile_window),
+            rand_normal_min_cos=getattr(
+                args, "rand_normal_cos",
+                PatchMatchParams.rand_normal_min_cos),
         ),
         fusion=FusionParams(
             consistency_scalar=args.fuse_thresh,
@@ -91,20 +95,23 @@ def main(argv=None):
     pr.add_argument("--debug_images", action="store_true",
                     help="write approved_pixels_cam_N.png and "
                          "triangulation.png debug artifacts")
-    pr.add_argument("--rand_depth_window", type=float, default=0.0,
-                    help="opt-in speed deviation: draw random depths inside "
-                         "a per-(8,128)-tile random subrange of this "
-                         "fraction of the depth range (fresh every sweep), "
-                         "collapsing the NCC kernel's per-tile scan windows "
-                         "~1/f at large scales; 0 = exact reference "
-                         "semantics (see DEVIATIONS.md, "
-                         "tools/rand_window_ab.py)")
-    pr.add_argument("--rand_normal_cos", type=float, default=0.0,
-                    help="opt-in speed deviation: draw random normals on "
-                         "the spherical cap dot(n, -view_dir) >= c instead "
-                         "of the full facing hemisphere, bounding the NCC "
-                         "kernel's scan-window blowup from near-grazing "
-                         "normals; 0 = exact reference law (DEVIATIONS.md)")
+    pr.add_argument("--rand_depth_window", type=float,
+                    default=PatchMatchParams.rand_depth_tile_window,
+                    help="speed deviation (ON by default, QUALITY.md): "
+                         "draw random depths inside a per-(16,128)-tile "
+                         "random subrange of this fraction of the depth "
+                         "range (fresh every sweep), collapsing the NCC "
+                         "kernel's per-tile scan windows ~1/f at large "
+                         "scales; 0 = exact reference semantics "
+                         "(DEVIATIONS.md, tools/rand_window_ab.py)")
+    pr.add_argument("--rand_normal_cos", type=float,
+                    default=PatchMatchParams.rand_normal_min_cos,
+                    help="speed deviation (ON by default, QUALITY.md): "
+                         "draw random normals on the spherical cap "
+                         "dot(n, -view_dir) >= c instead of the full "
+                         "facing hemisphere, bounding the NCC kernel's "
+                         "scan-window blowup from near-grazing normals; "
+                         "0 = exact reference law (DEVIATIONS.md)")
     pr.add_argument("--resume", action="store_true",
                     help="skip (view, scale, mode) solves already completed "
                          "by a previous run (stage markers next to the .dmb "

@@ -107,25 +107,38 @@ class PatchMatchParams:
     # member's own window and the shared tile visit pays the chunk
     # slice/broadcast/loop trips once per stack instead of once per k.
     ncc_kbatch_refine: bool = True
-    # OPT-IN deviation (0 = exact reference semantics): draw each random
-    # depth (init planes + the two d_rand refinement candidates) inside a
-    # per-(8,128)-tile random subrange of this fraction of the depth
-    # range, refreshed every call/sweep. Same per-pixel marginal
-    # distribution, but the per-tile depth spread — and the Pallas
-    # kernel's per-tap scan window, a per-tile bbox — collapses by ~1/f.
-    # The dominant scale-dependent cost at the DTU operating point is
-    # exactly that full-range scan (docs/PERF.md). Quality A/B:
-    # tools/rand_window_ab.py.
-    rand_depth_tile_window: float = 0.0
-    # OPT-IN deviation (0 = exact reference semantics): draw random
+    # DEFAULT-ON deviation (set 0 for exact reference semantics): draw
+    # each random depth (init planes + the two d_rand refinement
+    # candidates) inside a per-(16,128)-GLOBAL-tile random subrange of
+    # this fraction of the depth range, refreshed every call/sweep. Same
+    # per-pixel marginal support, trapezoidal instead of uniform at the
+    # range edges; the per-tile depth spread — and the Pallas kernel's
+    # per-tap scan window, a per-tile bbox — collapses by ~1/f. The
+    # dominant scale-dependent cost at the DTU operating point is exactly
+    # that full-range scan (docs/PERF.md). Defaults flipped ON in round 4
+    # after the recorded quality gate (QUALITY.md): with min_cos=0.25 the
+    # bundle is 3.5x faster at 1600x1184x8 for single-digit-% quality
+    # deltas on the adversarial cold-random-init measurement, and
+    # equal-or-better quality at 320x240. A/B: tools/rand_window_ab.py.
+    rand_depth_tile_window: float = 0.125
+    # The windowed draw needs enough (16, 128) window tiles for
+    # exploration diversity: below this many tiles on the FULL padded
+    # image grid the solver falls back to the exact full-range draw
+    # (measured: quality holds at 320x240 = 45 tiles, regresses at
+    # 96x64 = 4 tiles — tests/test_relief.py). The gate is computed from
+    # the full static image shape at every solver entry (untiled, staged,
+    # tile-sharded), so all execution layouts agree bitwise.
+    rand_window_min_tiles: int = 24
+    # DEFAULT-ON deviation (set 0 for exact reference law): draw random
     # normals uniformly on the spherical cap dot(n, -view_dir) >= c
     # instead of the full facing hemisphere. Near-grazing normals make
     # the plane-induced homography Jacobian explode; ONE such normal in
     # an (8,128) tile forces the Pallas kernel's whole per-tile per-tap
     # scan window wide open. The reference's texture units don't care
     # where taps land; our scan-based kernel does (docs/PERF.md).
-    # Quality A/B: tools/rand_window_ab.py --min_cos.
-    rand_normal_min_cos: float = 0.0
+    # Quality gate: QUALITY.md (alone: ~1.45x at 320x240 with equal or
+    # better quality on every fixture). A/B: rand_window_ab.py --min_cos.
+    rand_normal_min_cos: float = 0.25
 
     # --- deviations from the reference (documented in DEVIATIONS.md) ---
     # The reference's right_far strip selects the MAX-cost member due to a

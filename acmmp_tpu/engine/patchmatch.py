@@ -103,6 +103,7 @@ class SolverOutputs(NamedTuple):
 def _init_state(inputs: SolverInputs, params: PatchMatchParams, mode: Mode,
                 key: jax.Array) -> SolverState:
     H, W = inputs.ref_img.shape
+    params = effective_params(params, H, W)
     x, y = geo.pixel_grid(H, W)
     cam = inputs.ref_cam
     vg = ncc_ops.make_view_geometry(cam, inputs.src_cams)
@@ -184,6 +185,26 @@ def _restricted_score(cost, depth, normal, prior_planes, prior_depth, dmin, dmax
         -ang * ang / two_as2
     )
     return jnp.exp(-cost * cost / params.prior_beta) * prior
+
+
+def effective_params(params: PatchMatchParams, H: int,
+                     W: int) -> PatchMatchParams:
+    """Resolve shape-dependent parameter gates for a FULL padded image of
+    (H, W): the windowed random-depth deviation (DEVIATIONS.md #18) needs
+    at least `rand_window_min_tiles` (16, 128) window tiles for
+    exploration diversity, so small grids fall back to the exact
+    full-range draw. Called with the full image shape by every solver
+    entry point (fused, staged, batched, tile-sharded) so all layouts
+    resolve identically — the tile solver's bitwise-equality contract
+    depends on that."""
+    if not params.rand_depth_tile_window:
+        return params
+    from acmmp_tpu.ops.sampling import WINDOW_TILE_COLS, WINDOW_TILE_ROWS
+
+    tiles = (-(-H // WINDOW_TILE_ROWS)) * (-(-W // WINDOW_TILE_COLS))
+    if tiles >= params.rand_window_min_tiles:
+        return params
+    return dataclasses.replace(params, rand_depth_tile_window=0.0)
 
 
 def _random_init_mode(mode: Mode) -> bool:
@@ -518,6 +539,7 @@ def sweep_once_dyn(state: SolverState, inputs: SolverInputs, iteration,
     than 2*max_iterations. `coherent` stays static (it changes the NCC
     kernel's K-batching layout, see _sweep)."""
     H, W = inputs.ref_img.shape
+    params = effective_params(params, H, W)
     x, y = geo.pixel_grid(H, W)
     vg = ncc_ops.make_view_geometry(inputs.ref_cam, inputs.src_cams)
     black = (x.astype(jnp.int32) + y.astype(jnp.int32)) % 2 == 0
@@ -561,6 +583,7 @@ def run_patchmatch(inputs: SolverInputs, key: jax.Array,
     fused path saves only ~12% at small sizes and staged is also the
     multi-chip stage structure."""
     H, W = inputs.ref_img.shape
+    params = effective_params(params, H, W)
     x, y = geo.pixel_grid(H, W)
     cam = inputs.ref_cam
     vg = ncc_ops.make_view_geometry(cam, inputs.src_cams)

@@ -271,10 +271,15 @@ def tile_sharded_patchmatch(
     halo rows draw their owner shard's values, and the outer-edge ref
     halos replicate the border row exactly as the untiled solver's
     edge-clamped taps do (pinned by tests/test_tiles.py)."""
+    from acmmp_tpu.engine.patchmatch import effective_params
+
     H, W = inputs.ref_img.shape
     Pn = mesh.devices.size
     assert H % (8 * Pn) == 0, (H, Pn)
     assert H // Pn >= HALO, (
         f"shards must be at least {HALO} rows tall (halo reach); "
         f"got {H // Pn} rows/shard")
+    # resolve shape-dependent gates from the FULL image shape (the local
+    # shard shapes differ; resolving here keeps tiled == untiled bitwise)
+    params = effective_params(params, H, W)
     return _tile_solve_impl(inputs, key, params, mode, mesh)

@@ -41,7 +41,7 @@ def look_at_camera(eye, target, up=(0.0, 1.0, 0.0), f=120.0, width=64,
 
 def textured_relief_scene(
     n_views=4, width=96, height=64, base_z=5.0, amp=0.35, seed=0, f=140.0,
-    depth_min=2.0, depth_max=10.0,
+    depth_min=2.0, depth_max=10.0, spread=0.22, converge=False,
 ):
     """A smooth textured height-field surface z(x, y) = base_z +
     amp * (sin(1.1 x) * cos(0.9 y) + 0.5 sin(2.3 x + 1)) rendered
@@ -70,10 +70,17 @@ def textured_relief_scene(
     cams = []
     images = []
     gt_depth0 = None
-    offsets = np.linspace(-0.22, 0.22, n_views)
+    # `spread` widens the camera baseline (triangulation conditioning:
+    # depth precision ~ z^2 / (f * pair_baseline) per pixel of disparity
+    # error — the 0.22 default at base_z=5 is a weak ~2.5deg rig, fine
+    # for solver fixtures; quality evaluation should use spread >= 1 with
+    # `converge=True` so the cameras verge on the surface like a DTU rig)
+    offsets = np.linspace(-spread, spread, n_views)
     for i in range(n_views):
         eye = np.array([offsets[i], 0.013 * i + 0.004 * (i % 2), 0.0])
-        cam = look_at_camera(eye, eye + np.array([0.0, 0.0, 1.0]), f=f,
+        target = (np.array([0.0, 0.0, base_z]) if converge
+                  else eye + np.array([0.0, 0.0, 1.0]))
+        cam = look_at_camera(eye, target, f=f,
                              width=width, height=height,
                              depth_min=depth_min, depth_max=depth_max)
         xs, ys = np.meshgrid(np.arange(width, dtype=np.float64),

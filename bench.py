@@ -36,6 +36,15 @@ publishes no numbers; 10 maps/s is the reference-favorable pin of a
 [3, 13] maps/s workload-model bracket for its CUDA kernel on the GTX
 1080 Ti it was tested on (src/README.md:17-20).
 
+Per-section cost estimates below are MEASURED (2026-08-20, v5e via
+axon; the dominant per-process cost is shipping each ~50 MB compiled
+executable through the tunnel, which the persistent compile cache
+cannot avoid): headline ~440 s cold path total, exact-variant 206 s,
+geom 444 s, mid staged 223 s, DTU staged 280 s, fusion 23 s, DTU exact
+363 s (full run total 1763 s with ACMMP_BENCH_BUDGET_S=3000 —
+committed in docs/PERF.md). Under the default 480 s budget the driver
+records the headline plus explicit skip markers.
+
 Prints the headline JSON line immediately, then ONE final JSON line:
   {"metric": ..., "value": N, "unit": "maps/s", "vs_baseline": N,
    "extra": {...}}
@@ -143,8 +152,15 @@ def _section(name: str, est_cost_s: float):
 
 
 def main():
+    import sys
+
+    def _t(msg):
+        print(f"# bench +{_elapsed():7.1f}s {msg}", file=sys.stderr, flush=True)
+
     import jax
     import jax.numpy as jnp
+
+    _t("jax imported")
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".jax_cache")
@@ -155,6 +171,7 @@ def main():
     disarm = _device_watchdog()
     jax.devices()
     disarm()
+    _t("devices acquired")
 
     from acmmp_tpu.config import PatchMatchParams
     from acmmp_tpu.engine.inputs import build_solver_inputs
@@ -176,6 +193,7 @@ def main():
 
     # ---- HEADLINE: fused solver, in-program repetition, shipping defaults
     inputs = _inputs(W, H, params)
+    _t("headline inputs built")
 
     @jax.jit
     def fused_many(keys):
@@ -186,7 +204,9 @@ def main():
         return tot
 
     keys = jax.random.split(jax.random.key(7), REPS)
+    _t("headline tracing/compiling")
     float(fused_many(keys))                    # compile + warm
+    _t("headline compiled + warm")
     rates = []
     for _ in range(TIMED_CALLS):
         t0 = time.perf_counter()
@@ -205,7 +225,7 @@ def main():
     # for the shipping-defaults vs exact-semantics comparison
     exact = PatchMatchParams(rand_depth_tile_window=0.0,
                              rand_normal_min_cos=0.0)
-    if (exact != params and _section("headline_exact_maps_per_s", 90)):
+    if (exact != params and _section("headline_exact_maps_per_s", 210)):
         t_sec = time.monotonic()
 
         @jax.jit
@@ -228,7 +248,7 @@ def main():
         extra["headline_exact_s"] = round(time.monotonic() - t_sec, 1)
 
     # geometric-consistency mode (staged) at the headline shape
-    if _section("geom_section", 90):
+    if _section("geom_section", 450):
         t_sec = time.monotonic()
         gmode = Mode(geom_consistency=True)
         out = run_patchmatch_staged(inputs, jax.random.key(5), params=params,
@@ -255,7 +275,7 @@ def main():
         extra["geom_section_s"] = round(time.monotonic() - t_sec, 1)
 
     # staged production path at >= 0.3 Mpx
-    if _section("staged_mid_section", 90):
+    if _section("staged_mid_section", 230):
         t_sec = time.monotonic()
         inputs2 = _inputs(W2, H2, params)
         k = jax.random.key(3)
@@ -277,7 +297,7 @@ def main():
     HD, WD, VD = 1184, 1600, 9          # 1 ref + 8 src
     out_d = None
     inputs_d = None
-    if _section("staged_1600x1184_v8_maps_per_s", 150):
+    if _section("staged_1600x1184_v8_maps_per_s", 290):
         t_sec = time.monotonic()
         inputs_d = _inputs(WD, HD, params, n_views=VD)
         kd = jax.random.key(9)
@@ -295,7 +315,7 @@ def main():
     # fusion per-view program at the DTU scale: project 1.9 Mpx into 8
     # source views, sample depth+normal maps (Pallas coherent sampler),
     # threshold + score + consume (engine/fusion.py _fuse_view_plain)
-    if out_d is not None and _section("fusion_view_1600x1184_v8_ms", 90):
+    if out_d is not None and _section("fusion_view_1600x1184_v8_ms", 40):
         t_sec = time.monotonic()
         from acmmp_tpu.config import FusionParams
         from acmmp_tpu.engine.fusion import _fuse_view_plain_jit
@@ -329,7 +349,7 @@ def main():
     # DTU operating point, exact-reference-semantics variant (deviations
     # #18/#19 off): what the shipping defaults buy at DTU scale
     if (exact != params and inputs_d is not None
-            and _section("staged_1600x1184_v8_exact_maps_per_s", 150)):
+            and _section("staged_1600x1184_v8_exact_maps_per_s", 370)):
         t_sec = time.monotonic()
         kd = jax.random.key(9)
         jax.block_until_ready(run_patchmatch_staged(

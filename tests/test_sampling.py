@@ -195,3 +195,24 @@ def test_tile_window_flows_through_random_plane():
     assert depth.min() >= DMIN - 1e-3 and depth.max() <= DMAX + 1e-3
     # the whole 16-row grid is ONE global window tile
     assert depth.max() - depth.min() <= f * rng + 1e-3
+
+
+def test_rand_window_gate_small_grids():
+    """The windowed-depth default auto-disables below
+    rand_window_min_tiles window tiles (tiny grids lack exploration
+    diversity — the 96x64 relief fixture regressed with it on), and the
+    gate resolves identically at every solver entry from the FULL image
+    shape."""
+    from acmmp_tpu.config import PatchMatchParams
+    from acmmp_tpu.engine.patchmatch import effective_params
+
+    p = PatchMatchParams()
+    assert p.rand_depth_tile_window > 0, "defaults ship the window"
+    assert effective_params(p, 64, 96).rand_depth_tile_window == 0.0
+    assert effective_params(p, 48, 64).rand_depth_tile_window == 0.0
+    assert (effective_params(p, 240, 320).rand_depth_tile_window
+            == p.rand_depth_tile_window)
+    assert (effective_params(p, 1184, 1600).rand_depth_tile_window
+            == p.rand_depth_tile_window)
+    p0 = PatchMatchParams(rand_depth_tile_window=0.0)
+    assert effective_params(p0, 2048, 2048) is p0

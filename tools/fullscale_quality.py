@@ -64,8 +64,12 @@ def main():
     W, H, V = args.width, args.height, args.views
     f = 140.0 * W / 96.0
     t0 = time.monotonic()
+    # wide convergent rig (spread 1.2 at depth 5 ~ 27deg end-to-end) so
+    # the mm-scale metrics measure matching quality, not triangulation
+    # conditioning — the 0.22-parallel default rig turns one pixel of
+    # disparity error into ~23 scaled-mm of depth error
     images, cams, gt_depth0 = textured_relief_scene(
-        n_views=V, width=W, height=H, f=f)
+        n_views=V, width=W, height=H, f=f, spread=1.2, converge=True)
     print(f"scene rendered in {time.monotonic() - t0:.1f}s", flush=True)
 
     dense = args.dense or tempfile.mkdtemp(prefix="acmmp_fullscale_")
