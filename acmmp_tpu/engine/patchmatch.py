@@ -209,10 +209,28 @@ def effective_params(params: PatchMatchParams, H: int,
 
 def _random_init_mode(mode: Mode) -> bool:
     """True when initialization is per-pixel random planes (the photometric
-    first pass) — the one case where sweep 0's propagation candidates are
-    mutually incoherent (see prop_coherent below)."""
+    first pass) — the one case where sweep 0's propagation candidates can
+    be mutually incoherent (see first_sweep_coherent)."""
     return not (mode.geom_consistency or mode.hierarchy or mode.seeded
                 or mode.planar_prior)
+
+
+def first_sweep_coherent(params: PatchMatchParams, mode: Mode) -> bool:
+    """Whether sweep 0's propagation NCC uses the K-shared kernel.
+
+    After a RANDOM init the 8 propagation candidates are neighbors'
+    random planes; with FULL-RANGE random depths their union scan window
+    widens to the whole image and K-sharing measured 1.4x SLOWER — the
+    historical per-k exception. With the windowed draw active
+    (rand_depth_tile_window > 0, the shipping default) candidate depths
+    are tile-local and K-sharing measured 10% FASTER on the real post-
+    init field at 1600x1184x8 (2260 vs 2486 ms) — and dropping the
+    exception removes one compiled sweep program per (mode, shape).
+    `params` must be the EFFECTIVE params (effective_params), since the
+    window auto-disables on small grids. Results are bitwise identical
+    either way (K-shared == per-k, test_k_shared_matches_per_k)."""
+    return not (_random_init_mode(mode)
+                and not params.rand_depth_tile_window)
 
 
 def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
@@ -523,7 +541,8 @@ def sweep_once(state: SolverState, inputs: SolverInputs, sweep_idx: int,
     """Stage 2 (called 2*max_iterations times): one red/black half-sweep.
     `sweep_idx` is static: even = black parity, odd = red
     (BlackPixelUpdate/RedPixelUpdate, ACMMP.cu:1175-1197)."""
-    coh = not (sweep_idx == 0 and _random_init_mode(mode))
+    eff = effective_params(params, *inputs.ref_img.shape)
+    coh = sweep_idx != 0 or first_sweep_coherent(eff, mode)
     return sweep_once_dyn(state, inputs, jnp.float32(sweep_idx // 2),
                           jnp.int32(sweep_idx % 2), key, params, mode,
                           coherent=coh)
@@ -599,7 +618,7 @@ def run_patchmatch(inputs: SolverInputs, key: jax.Array,
     # — the scan then covers the remaining coherent sweeps.
     n_sweeps = 2 * params.max_iterations
     start = 0
-    if _random_init_mode(mode) and n_sweeps > 0:
+    if not first_sweep_coherent(params, mode) and n_sweeps > 0:
         state = _sweep(state, inputs, vg, x, y, black, jnp.float32(0.0),
                        jax.random.fold_in(k_sweeps, 0), params, mode,
                        prop_coherent=False)
@@ -672,9 +691,10 @@ def run_patchmatch_staged(inputs: SolverInputs, key: jax.Array,
     f_init, f_sweep, f_fin = _cache["fns"]
     k_init, k_sweeps = jax.random.split(key)
     state = f_init(inputs, k_init, params=params, mode=mode)
+    eff = effective_params(params, *inputs.ref_img.shape)
     for s in range(2 * params.max_iterations):
         k = jax.random.fold_in(k_sweeps, s)
-        coh = not (s == 0 and _random_init_mode(mode))
+        coh = s != 0 or first_sweep_coherent(eff, mode)
         state = f_sweep(state, inputs, jnp.float32(s // 2), jnp.int32(s % 2),
                         k, params=params, mode=mode, coherent=coh)
     return f_fin(state, inputs, params=params)

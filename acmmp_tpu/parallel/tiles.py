@@ -212,9 +212,11 @@ def _tile_solve_impl(inputs: SolverInputs, key, params, mode, mesh):
             )
             parity = black_e if s % 2 == 0 else ~black_e
             k = jax.random.fold_in(k_sweeps, s)
-            from acmmp_tpu.engine.patchmatch import _random_init_mode
+            from acmmp_tpu.engine.patchmatch import first_sweep_coherent
 
-            coh = not (s == 0 and _random_init_mode(mode))
+            # params here are already EFFECTIVE (resolved from the full
+            # image shape in tile_sharded_patchmatch)
+            coh = s != 0 or first_sweep_coherent(params, mode)
             new_ext = _sweep(ext_state, ext_inputs, vg, x_e, y_e, parity,
                              jnp.float32(s // 2), k, params, mode,
                              prop_coherent=coh)

@@ -25,8 +25,8 @@ from acmmp_tpu.parallel.shmap import shard_map
 
 from acmmp_tpu.config import PatchMatchParams
 from acmmp_tpu.engine.patchmatch import (
-    Mode, SolverInputs, SolverOutputs, _random_init_mode, finalize,
-    init_state, sweep_once_dyn,
+    Mode, SolverInputs, SolverOutputs, effective_params, finalize,
+    first_sweep_coherent, init_state, sweep_once_dyn,
 )
 from acmmp_tpu.parallel.sharding import VIEW_AXIS, stack_solver_inputs
 
@@ -147,8 +147,10 @@ class BatchedSolver:
                           for k in sweep_keys]
 
         state = f_init(batch, k_init)
+        eff = effective_params(self.params,
+                               *inputs_list[0].ref_img.shape)
         for s in range(n_sweeps):
-            coh = not (s == 0 and _random_init_mode(mode))
+            coh = s != 0 or first_sweep_coherent(eff, mode)
             state = f_sweep(state, batch, sweep_keys[s],
                             jnp.float32(s // 2), jnp.int32(s % 2),
                             coherent=coh)

@@ -131,7 +131,12 @@ if mh.is_primary():
 mh.barrier("dense_folder_written")
 
 cfg = PipelineConfig(
-    patchmatch=params,
+    # max_iterations=2 (the production default): ONE sweep pair leaves
+    # normals ~25deg from truth on this tiny scene (measured identically
+    # on round-3 code — always borderline, previously passing fusion's
+    # 10deg agreement check only by seed luck), and the traced-sweep
+    # staged path makes the extra iteration compile-free.
+    patchmatch=PatchMatchParams(patch_size=7, max_iterations=2),
     fusion=FusionParams(num_consistent_thresh=2),
     pad_h=1, pad_w=1, geom_iterations=1, planar_prior=False,
 )
