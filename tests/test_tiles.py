@@ -180,3 +180,36 @@ def test_tile_sharded_recovers_plane():
     err = np.abs(depth[interior] - plane_z)
     assert np.median(err) < 0.15, np.median(err)
     assert (err < 0.5).mean() > 0.8, (err < 0.5).mean()
+
+
+def test_tile_sharded_bitwise_with_windowed_draw():
+    """Bitwise tiled==untiled WITH the windowed-depth deviation ACTIVE:
+    the per-(16,128) window tiles are keyed on GLOBAL coordinates
+    (ops/sampling.py), so a shard whose origin is not a window-tile
+    multiple must still agree with the untiled draw — and the
+    effective_params gate must resolve identically from the full shape
+    in both paths. W=256 pushes the grid to >= rand_window_min_tiles so
+    the gate keeps the window ON (the other tests here fall below it)."""
+    from acmmp_tpu.engine.patchmatch import effective_params
+
+    n_dev = len(jax.devices())
+    H = max(24 * n_dev, 8 * n_dev * 2)
+    H = ((H + 8 * n_dev - 1) // (8 * n_dev)) * (8 * n_dev)
+    params = PatchMatchParams(patch_size=7, max_iterations=1,
+                              rand_depth_tile_window=0.125,
+                              rand_window_min_tiles=12)
+    assert effective_params(params, H, 256).rand_depth_tile_window > 0, \
+        "fixture must keep the window active"
+    images, cams, plane_z = textured_plane_scene(
+        n_views=3, width=256, height=H)
+    inputs = build_solver_inputs(images[0], images[1:], cams[0], cams[1:],
+                                 params, pad_h=8, pad_w=128)
+    mesh = make_tile_mesh()
+    out = tile_sharded_patchmatch(mesh, inputs, jax.random.key(2), params,
+                                  Mode())
+    ref = jax.jit(run_patchmatch, static_argnames=("params", "mode"))(
+        inputs, jax.random.key(2), params=params, mode=Mode())
+    np.testing.assert_array_equal(np.asarray(out.depth),
+                                  np.asarray(ref.depth))
+    np.testing.assert_array_equal(np.asarray(out.cost),
+                                  np.asarray(ref.cost))
