@@ -29,14 +29,41 @@ METRIC_NAMES = (
 
 
 def reduce_points(pts: np.ndarray, dst: float) -> np.ndarray:
-    """Down-sample so no two kept points are closer than `dst` (greedy grid
-    hash — the official reducePts algorithm's behavior)."""
+    """Down-sample so no two kept points are closer than `dst`.
+
+    Two passes: (1) greedy grid hash keeping the first point per
+    dst-sized cell, then (2) a cross-cell pass that enforces the official
+    reducePts min-spacing invariant — lexicographic greedy over the
+    survivors, dropping any point within `dst` of an earlier-kept one
+    (without this pass, first-per-cell survivors in ADJACENT cells can
+    sit arbitrarily close across the boundary). The kept set is
+    guaranteed pairwise >= dst apart, like the official MATLAB reducePts
+    (which removes all points within dst of each kept point); the grid
+    pre-pass makes the selection deterministic-by-point-order rather
+    than randomized, and can keep slightly fewer same-cell points than
+    the official greedy (two points in one dst-cell can be up to
+    sqrt(3)*dst apart) — self-comparisons are exact, absolute densities
+    are within the official protocol's own permutation variance."""
     if len(pts) == 0 or dst <= 0:
         return pts
     cell = np.floor(pts / dst).astype(np.int64)
-    # greedy: keep first point per cell
+    # pass 1: keep first point per cell
     _, keep_idx = np.unique(cell, axis=0, return_index=True)
-    return pts[np.sort(keep_idx)]
+    out = pts[np.sort(keep_idx)]
+    # pass 2: reject cross-cell neighbors closer than dst (greedy in point
+    # order; processing pairs by ascending second index means each point's
+    # own fate is final before it can eliminate a later one)
+    from scipy.spatial import cKDTree
+
+    pairs = cKDTree(out).query_pairs(dst, output_type="ndarray")
+    if len(pairs):
+        alive = np.ones(len(out), bool)
+        order = np.argsort(pairs[:, 1], kind="stable")
+        for i, j in pairs[order]:
+            if alive[i]:
+                alive[j] = False
+        out = out[alive]
+    return out
 
 
 def nn_distances(a: np.ndarray, b: np.ndarray, workers: int = -1) -> np.ndarray:

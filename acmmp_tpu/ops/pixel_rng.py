@@ -46,8 +46,15 @@ def _fmix(h: jax.Array) -> jax.Array:
 
 
 def _key_words(key: jax.Array):
-    """The two raw uint32 words of a (threefry) jax PRNG key."""
-    data = jax.random.key_data(key)
+    """The two raw uint32 words of a jax PRNG key.
+
+    Accepts both key flavors (these are public sampling entry points):
+    new-style typed keys (jax.random.key) and legacy raw uint32 arrays
+    (jax.random.PRNGKey)."""
+    if jnp.issubdtype(key.dtype, jnp.integer):   # legacy [..., 2] uint32
+        data = jnp.asarray(key)
+    else:
+        data = jax.random.key_data(key)
     return data[..., 0].astype(jnp.uint32), data[..., 1].astype(jnp.uint32)
 
 

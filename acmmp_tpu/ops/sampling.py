@@ -73,6 +73,16 @@ def random_unit_normal(key, cam: geo.Camera, x, y, depth,
 # rows — the window tile is the kernel tile's global footprint, aligned in
 # GLOBAL coordinates so shard origins (multiples of 8 rows) see the same
 # window assignment as the untiled solve.
+#
+# Straddle cost on tile shards (correctness unaffected — bitwise equality
+# to the untiled solve is pinned by tests/test_tiles.py): a shard whose
+# row origin is an ODD multiple of 8 has its (8, 128) packed Pallas tiles
+# covering global rows 16k+8..16k+23, i.e. straddling TWO depth windows —
+# the per-tile scan bbox then spans up to 2f of the range instead of f,
+# halving the windowed draw's scan collapse on that shard. Shard heights
+# that are multiples of 16 rows avoid it entirely (the production
+# tile-sharded scheduler pads to 8*n_devices, so even-height shards
+# already are).
 WINDOW_TILE_ROWS = 16
 WINDOW_TILE_COLS = 128
 

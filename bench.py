@@ -39,11 +39,15 @@ publishes no numbers; 10 maps/s is the reference-favorable pin of a
 Per-section cost estimates below are MEASURED (2026-08-20, v5e via
 axon; the dominant per-process cost is shipping each ~50 MB compiled
 executable through the tunnel, which the persistent compile cache
-cannot avoid): headline ~440 s cold path total, exact-variant 206 s,
-geom 444 s, mid staged 223 s, DTU staged 280 s, fusion 23 s, DTU exact
-363 s (full run total 1763 s with ACMMP_BENCH_BUDGET_S=3000 —
-committed in docs/PERF.md). Under the default 480 s budget the driver
-records the headline plus explicit skip markers.
+cannot avoid): headline ~175 s (cold), exact-variant 206 s, geom 444 s,
+mid staged 223 s, DTU staged 280 s, fusion 23 s, DTU exact 363 s (full
+run total 1763 s with ACMMP_BENCH_BUDGET_S=3000 — committed in
+docs/PERF.md). Extras run MOST-INFORMATIVE-FIRST: under the default
+480 s budget the driver records the headline AND the DTU
+operating-point throughput (the reference's actual working scale),
+with explicit skip markers for the rest (r4 lesson: the old
+cheapest-first order spent the whole remaining budget on the
+round-stable exact-semantics variant).
 
 Prints the headline JSON line immediately, then ONE final JSON line:
   {"metric": ..., "value": N, "unit": "maps/s", "vs_baseline": N,
@@ -217,77 +221,21 @@ def main():
     RESULT["value"] = round(maps_per_s, 4)
     RESULT["vs_baseline"] = round(maps_per_s / BASELINE_MAPS_PER_S, 4)
     extra["headline_reps"] = [round(r, 4) for r in rates]
+    # self-describing headline: the active exploration-law deviations
+    # (DEVIATIONS.md #18/#19; 0/0 = exact reference semantics)
+    extra["headline_params"] = (
+        f"rand_depth_tile_window={params.rand_depth_tile_window}"
+        f",rand_normal_min_cos={params.rand_normal_min_cos}")
     _print_result()   # the headline survives whatever happens below
 
-    # ---- extras, cheapest first, each behind a budget gate ----
-
-    # exact-reference-semantics headline variant (deviations #18/#19 off),
-    # for the shipping-defaults vs exact-semantics comparison
+    # ---- extras, MOST INFORMATIVE first, each behind a budget gate.
+    # Under the 480 s driver budget only ~300 s remain after the cold
+    # headline, so order = information value: the DTU operating point
+    # (where the reference actually runs, acmmp_definitions.cpp:207-243)
+    # before the round-stable exact-semantics headline variant (r4 lesson:
+    # the old order spent the whole post-headline budget on the latter).
     exact = PatchMatchParams(rand_depth_tile_window=0.0,
                              rand_normal_min_cos=0.0)
-    if (exact != params and _section("headline_exact_maps_per_s", 210)):
-        t_sec = time.monotonic()
-
-        @jax.jit
-        def fused_many_e(keys):
-            def body(c, k):
-                out = run_patchmatch(inputs, k, params=exact, mode=mode)
-                return c + jnp.mean(out.depth), None
-            tot, _ = jax.lax.scan(body, jnp.float32(0.0), keys)
-            return tot
-
-        float(fused_many_e(keys))
-        rates_e = []
-        for _ in range(TIMED_CALLS):
-            t0 = time.perf_counter()
-            float(fused_many_e(keys))
-            rates_e.append(REPS / (time.perf_counter() - t0))
-        rates_e.sort()
-        extra["headline_exact_maps_per_s"] = round(
-            rates_e[len(rates_e) // 2], 4)
-        extra["headline_exact_s"] = round(time.monotonic() - t_sec, 1)
-
-    # geometric-consistency mode (staged) at the headline shape
-    if _section("geom_section", 450):
-        t_sec = time.monotonic()
-        gmode = Mode(geom_consistency=True)
-        out = run_patchmatch_staged(inputs, jax.random.key(5), params=params,
-                                    mode=mode)
-        Hs, Ws = inputs.src_imgs.shape[-2:]
-        depth = out.depth
-        src_depths = jnp.broadcast_to(
-            jnp.pad(depth,
-                    ((0, Hs - depth.shape[0]), (0, Ws - depth.shape[1])),
-                    mode="edge"),
-            (V1 - 1, Hs, Ws))
-        ginputs = inputs._replace(
-            src_depths=src_depths, init_depth=out.depth,
-            init_normal_world=out.normal_world, init_cost=out.cost)
-        jax.block_until_ready(run_patchmatch_staged(
-            ginputs, jax.random.key(6), params=params, mode=gmode))
-        t0 = time.perf_counter()
-        for i in range(REPS2):
-            jax.block_until_ready(run_patchmatch_staged(
-                ginputs, jax.random.fold_in(jax.random.key(6), i),
-                params=params, mode=gmode))
-        extra[f"geom_{W}x{H}_maps_per_s"] = round(
-            REPS2 / (time.perf_counter() - t0), 4)
-        extra["geom_section_s"] = round(time.monotonic() - t_sec, 1)
-
-    # staged production path at >= 0.3 Mpx
-    if _section("staged_mid_section", 230):
-        t_sec = time.monotonic()
-        inputs2 = _inputs(W2, H2, params)
-        k = jax.random.key(3)
-        jax.block_until_ready(
-            run_patchmatch_staged(inputs2, k, params=params, mode=mode))
-        t0 = time.perf_counter()
-        for i in range(REPS2):
-            jax.block_until_ready(run_patchmatch_staged(
-                inputs2, jax.random.fold_in(k, i), params=params, mode=mode))
-        extra[f"staged_{W2}x{H2}_maps_per_s"] = round(
-            REPS2 / (time.perf_counter() - t0), 4)
-        extra["staged_mid_section_s"] = round(time.monotonic() - t_sec, 1)
 
     # ---- DTU operating point: the reference's finest scale is ~1600x1184
     # (max dim 3200 capped, halved once to >= the 1000 size bound,
@@ -361,6 +309,76 @@ def main():
             1 / (time.perf_counter() - t0), 4)
         extra["staged_dtu_exact_section_s"] = round(
             time.monotonic() - t_sec, 1)
+        _print_result()
+
+    # exact-reference-semantics headline variant (deviations #18/#19 off),
+    # for the shipping-defaults vs exact-semantics comparison. Round-stable
+    # (7.45/3.69 in r4), so it runs after the DTU sections.
+    if (exact != params and _section("headline_exact_maps_per_s", 210)):
+        t_sec = time.monotonic()
+
+        @jax.jit
+        def fused_many_e(keys):
+            def body(c, k):
+                out = run_patchmatch(inputs, k, params=exact, mode=mode)
+                return c + jnp.mean(out.depth), None
+            tot, _ = jax.lax.scan(body, jnp.float32(0.0), keys)
+            return tot
+
+        float(fused_many_e(keys))
+        rates_e = []
+        for _ in range(TIMED_CALLS):
+            t0 = time.perf_counter()
+            float(fused_many_e(keys))
+            rates_e.append(REPS / (time.perf_counter() - t0))
+        rates_e.sort()
+        extra["headline_exact_maps_per_s"] = round(
+            rates_e[len(rates_e) // 2], 4)
+        extra["headline_exact_s"] = round(time.monotonic() - t_sec, 1)
+
+    # staged production path at >= 0.3 Mpx
+    if _section("staged_mid_section", 230):
+        t_sec = time.monotonic()
+        inputs2 = _inputs(W2, H2, params)
+        k = jax.random.key(3)
+        jax.block_until_ready(
+            run_patchmatch_staged(inputs2, k, params=params, mode=mode))
+        t0 = time.perf_counter()
+        for i in range(REPS2):
+            jax.block_until_ready(run_patchmatch_staged(
+                inputs2, jax.random.fold_in(k, i), params=params, mode=mode))
+        extra[f"staged_{W2}x{H2}_maps_per_s"] = round(
+            REPS2 / (time.perf_counter() - t0), 4)
+        extra["staged_mid_section_s"] = round(time.monotonic() - t_sec, 1)
+
+    # geometric-consistency mode (staged) at the headline shape — the most
+    # expensive extra (two cold mode-programs), effectively reachable only
+    # with ACMMP_BENCH_BUDGET_S >= ~1500 (full-capture runs, docs/PERF.md)
+    if _section("geom_section", 450):
+        t_sec = time.monotonic()
+        gmode = Mode(geom_consistency=True)
+        out = run_patchmatch_staged(inputs, jax.random.key(5), params=params,
+                                    mode=mode)
+        Hs, Ws = inputs.src_imgs.shape[-2:]
+        depth = out.depth
+        src_depths = jnp.broadcast_to(
+            jnp.pad(depth,
+                    ((0, Hs - depth.shape[0]), (0, Ws - depth.shape[1])),
+                    mode="edge"),
+            (V1 - 1, Hs, Ws))
+        ginputs = inputs._replace(
+            src_depths=src_depths, init_depth=out.depth,
+            init_normal_world=out.normal_world, init_cost=out.cost)
+        jax.block_until_ready(run_patchmatch_staged(
+            ginputs, jax.random.key(6), params=params, mode=gmode))
+        t0 = time.perf_counter()
+        for i in range(REPS2):
+            jax.block_until_ready(run_patchmatch_staged(
+                ginputs, jax.random.fold_in(jax.random.key(6), i),
+                params=params, mode=gmode))
+        extra[f"geom_{W}x{H}_maps_per_s"] = round(
+            REPS2 / (time.perf_counter() - t0), 4)
+        extra["geom_section_s"] = round(time.monotonic() - t_sec, 1)
 
     extra["total_s"] = round(_elapsed(), 1)
     _print_result()

@@ -38,6 +38,35 @@ def test_reduce_points_spacing():
     assert len(out) == 2
 
 
+def test_reduce_points_min_spacing_across_cells():
+    """The official reducePts invariant: NO two kept points closer than
+    dst — including first-per-cell survivors in adjacent grid cells
+    (0.199 and 0.201 straddle the 0.2 cell boundary at distance 0.002)."""
+    from scipy.spatial import cKDTree
+
+    dst = 0.2
+    pts = np.array([[0.199, 0, 0], [0.201, 0, 0], [0.15, 0, 0],
+                    [0.9, 0, 0]], np.float64)
+    out = reduce_points(pts, dst)
+    assert len(cKDTree(out).query_pairs(dst)) == 0
+    # greedy keeps the EARLIER of the conflicting pair
+    assert [0.199, 0, 0] in out.tolist()
+    assert [0.201, 0, 0] not in out.tolist()
+    assert [0.9, 0, 0] in out.tolist()
+
+    # randomized cloud: invariant holds and coverage is preserved (every
+    # input point has a kept point within dst)
+    rng = np.random.default_rng(0)
+    cloud = rng.uniform(0, 1, size=(4000, 3))
+    red = reduce_points(cloud, dst)
+    assert len(cKDTree(red).query_pairs(dst)) == 0
+    d, _ = cKDTree(red).query(cloud, k=1)
+    # every input point is near a kept one: its cell representative is
+    # within sqrt(3)*dst; if that rep was rejected, its (kept) rejector
+    # adds at most dst more
+    assert d.max() < dst * (np.sqrt(3) + 1.0) + 1e-12
+
+
 def test_holm_correction_monotone():
     p = [0.01, 0.04, 0.03, 0.5]
     adj = holm_correction(p)

@@ -216,3 +216,20 @@ def test_rand_window_gate_small_grids():
             == p.rand_depth_tile_window)
     p0 = PatchMatchParams(rand_depth_tile_window=0.0)
     assert effective_params(p0, 2048, 2048) is p0
+
+
+def test_legacy_raw_uint32_keys_accepted():
+    """The sampling entry points are public package API: a caller passing a
+    legacy raw-uint32 PRNGKey array must draw exactly what the typed-key
+    caller draws (jax.random.key_data would reject the raw array)."""
+    x, y = _grids(16, 128)
+    typed = jax.random.key(42)
+    legacy = jax.random.PRNGKey(42)
+    np.testing.assert_array_equal(
+        np.asarray(prng.uniform(typed, y, x, 5)),
+        np.asarray(prng.uniform(legacy, y, x, 5)))
+    np.testing.assert_array_equal(
+        np.asarray(samp_ops.random_depth(typed, DMIN, DMAX, y, x,
+                                         tile_window=0.25)),
+        np.asarray(samp_ops.random_depth(legacy, DMIN, DMAX, y, x,
+                                         tile_window=0.25)))

@@ -92,34 +92,10 @@ def main():
     wall = time.monotonic() - t0
 
     # ground truth: the analytic surface sampled on a fine world grid over
-    # the reconstructed region (the relief's own z_surf law, synth.py)
-    base_z, amp = 5.0, 0.35
+    # every view's frustum footprint (utils.synth.relief_gt_points)
+    from acmmp_tpu.utils.synth import relief_gt_points
 
-    def z_surf(xw, yw):
-        return base_z + amp * (np.sin(1.1 * xw) * np.cos(0.9 * yw)
-                               + 0.5 * np.sin(2.3 * xw + 1.0))
-
-    # every view's frustum footprint at the surface (the fused cloud spans
-    # all views) — per-view ray casts, concatenated; dtu_metrics'
-    # reduce_points dedups the overlap
-    gt_parts = []
-    for cam_i in cams:
-        xs = np.linspace(0, W - 1, 1280)
-        ys = np.linspace(0, H - 1, 960)
-        Xg, Yg = np.meshgrid(xs, ys)
-        dirs = np.stack([(Xg - cam_i.K[0, 2]) / cam_i.K[0, 0],
-                         (Yg - cam_i.K[1, 2]) / cam_i.K[1, 1],
-                         np.ones_like(Xg)], axis=-1)
-        dirs_w = dirs @ cam_i.R
-        center = -cam_i.R.T @ cam_i.t
-        s = (base_z - center[2]) / dirs_w[..., 2]
-        for _ in range(30):
-            p = center[None, None] + s[..., None] * dirs_w
-            g = p[..., 2] - z_surf(p[..., 0], p[..., 1])
-            s = s - 0.8 * g / dirs_w[..., 2]
-        gt_parts.append(
-            (center[None, None] + s[..., None] * dirs_w).reshape(-1, 3))
-    gt_pts = np.concatenate(gt_parts)
+    gt_pts = relief_gt_points(cams, W, H)
 
     from acmmp_tpu.eval.dtu import dtu_metrics
     from acmmp_tpu.io.ply import read_ply

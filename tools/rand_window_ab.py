@@ -59,6 +59,17 @@ def main():
     ap.add_argument("--geom", action="store_true",
                     help="also run one geometric pass per seed")
     ap.add_argument("--scene", default="plane", choices=["plane", "relief"])
+    ap.add_argument("--spread", type=float, default=1.2,
+                    help="relief rig camera spread; >= 1 with --converge "
+                         "is the DTU-like triangulation-conditioned rig "
+                         "utils/synth.py recommends for quality evaluation "
+                         "(the old 0.22-parallel default turns ~1 px of "
+                         "disparity error into ~23 scaled-mm of depth "
+                         "error, masking quality deltas)")
+    ap.add_argument("--parallel_rig", action="store_true",
+                    help="use the legacy weak rig (spread=0.22, "
+                         "non-convergent) — the cold-init adversarial row "
+                         "of the original QUALITY.md table")
     ap.add_argument("--json", default="",
                     help="append one JSON line per variant to this file")
     args = ap.parse_args()
@@ -80,9 +91,11 @@ def main():
             f=600.0 * args.width / 320.0, plane_z=args.plane_z)
         gt = np.full((args.height, args.width), plane_z, np.float32)
     else:
+        spread = 0.22 if args.parallel_rig else args.spread
         images, cams, gt = textured_relief_scene(
             n_views=args.views + 1, width=args.width, height=args.height,
-            f=140.0 * args.width / 96.0)
+            f=140.0 * args.width / 96.0, spread=spread,
+            converge=not args.parallel_rig)
 
     H, W = args.height, args.width
     interior = np.s_[8:H - 8, 8:W - 8]
@@ -108,7 +121,11 @@ def main():
                 errs.append(float(np.median(e)))
                 inliers.append(float((e < 0.1).mean()))
             rec = {
-                "scene": args.scene, "h": H, "w": W, "views": args.views,
+                "scene": args.scene,
+                "rig": (None if args.scene == "plane" else
+                        "parallel0.22" if args.parallel_rig else
+                        f"converge{args.spread}"),
+                "h": H, "w": W, "views": args.views,
                 "plane_z": args.plane_z if args.scene == "plane" else None,
                 "window": w, "min_cos": mc,
                 "median_err": round(float(np.mean(errs)), 5),
