@@ -107,6 +107,19 @@ class PatchMatchParams:
     # member's own window and the shared tile visit pays the chunk
     # slice/broadcast/loop trips once per stack instead of once per k.
     ncc_kbatch_refine: bool = True
+    # Scan-group sub-stacking for the K=8 propagation call's k_shared
+    # kernel: each group scans the union of only ITS members' windows
+    # (ops/pallas_ncc.py k_groups; bitwise-identical output for any
+    # partition). Region order (ops/propagation.py direction_candidates):
+    # 0 up_near, 1 up_far, 2 down_near, 3 down_far, 4 left_near,
+    # 5 left_far, 6 right_near, 7 right_far — the far strips reach 23 px
+    # (ACMMP.cu:819-827), so on curved surfaces their candidate planes
+    # deviate ~reach^2 more than the near ones and a near-only group
+    # scans a tighter window. "none" = single union (round-4 behavior);
+    # "nearfar" = ((0,2,4,6),(1,3,5,7)); "four" adds a vertical/
+    # horizontal split; "perk" = 8 singleton groups. Measured on real
+    # mid-solve DTU fields by tools/prop_attack.py (docs/PERF.md).
+    ncc_prop_substacks: str = "none"
     # DEFAULT-ON deviation (set 0 for exact reference semantics): draw
     # each random depth (init planes + the two d_rand refinement
     # candidates) inside a per-(16,128)-GLOBAL-tile random subrange of
@@ -188,6 +201,13 @@ class PipelineConfig:
     multi_fusion: bool = False
     force_fusion: bool = False
     planar_prior: bool = True       # planar-prior pass at each scale
+    # bound the planar-prior SECOND solve to views of at most this many
+    # true pixels (0 = no bound). The triangulation itself is host-side
+    # scipy Delaunay over support points (engine/priors.py) — cheap — but
+    # the second solve doubles the sweep work for the view; production
+    # use: keep the prior pass on the view-parallel sizes and skip it for
+    # giant tile-sharded views whose second solve would dominate a stage.
+    planar_prior_max_pixels: int = 0
     seed: int = 0                   # global RNG seed (reference: clock64(); we are reproducible)
     patchmatch: PatchMatchParams = dataclasses.field(default_factory=PatchMatchParams)
     fusion: FusionParams = dataclasses.field(default_factory=FusionParams)

@@ -281,14 +281,16 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
 
     n_real = jnp.sum(inputs.view_mask)
 
-    def eval_ncc(planes_k, coherent=False):
+    def eval_ncc(planes_k, coherent=False, k_groups=None):
         if packed:
             return ncc_ops.multiview_zncc_packed(
                 inputs.ref_img, inputs.src_imgs, vg, planes_k, params, off0,
-                origin=origin, n_views=n_real, coherent_hyps=coherent)
+                origin=origin, n_views=n_real, coherent_hyps=coherent,
+                k_groups=k_groups)
         return ncc_ops.multiview_zncc(inputs.ref_img, inputs.src_imgs, vg,
                                       planes_k, params, origin=origin,
-                                      n_views=n_real, coherent_hyps=coherent)
+                                      n_views=n_real, coherent_hyps=coherent,
+                                      k_groups=k_groups)
 
     # the 9th hypothesis (the current plane, ACMMP.cu:1060-1062) is NOT
     # re-evaluated: its per-view costs are carried in the state (bitwise
@@ -300,7 +302,9 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
     # (`prop_coherent=False`: candidates are random neighbors; the union
     # window widens to the whole image and k_shared measures 1.4x slower)
     # and the 5 refinement candidates (2 of 5 are per-pixel random planes).
-    ncc8 = eval_ncc(cand_planes, coherent=prop_coherent)       # [8,*g,V]
+    ncc8 = eval_ncc(cand_planes, coherent=prop_coherent,
+                    k_groups=ncc_ops.PROP_GROUPINGS[
+                        params.ncc_prop_substacks])            # [8,*g,V]
     ncc9 = jnp.concatenate([ncc8, pv_cur[None]], axis=0)       # [9,*g,V]
     geom9 = None
     if mode.geom_consistency:

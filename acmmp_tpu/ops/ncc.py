@@ -38,6 +38,17 @@ class ViewGeometry(NamedTuple):
     src_height: jax.Array  # [V]
 
 
+# Scan-group partitions of the 8 checkerboard-propagation candidates for
+# the k_shared Pallas kernel (config.ncc_prop_substacks; region order =
+# ops.propagation.direction_candidates / ACMMP.cu:806):
+PROP_GROUPINGS = {
+    "none": None,
+    "nearfar": ((0, 2, 4, 6), (1, 3, 5, 7)),
+    "four": ((0, 2), (4, 6), (1, 3), (5, 7)),
+    "perk": tuple((k,) for k in range(8)),
+}
+
+
 def make_view_geometry(ref_cam: geo.Camera, src_cams: geo.Camera) -> ViewGeometry:
     """src_cams: stacked Camera with leading view axis [V]."""
     A, B, KrT = jax.vmap(lambda sc: geo.homography_coeffs(ref_cam, sc))(src_cams)
@@ -71,6 +82,9 @@ def multiview_zncc(
                              # planes): the Pallas kernel then evaluates all
                              # K per tile visit sharing the gathered source
                              # chunks (k_shared, ops/pallas_ncc.py)
+    k_groups=None,           # static scan-group partition for the k_shared
+                             # kernel (ops/pallas_ncc.py); ignored by the
+                             # oracle (grouping never changes values)
 ) -> jax.Array:
     """Per-view bilateral ZNCC costs for each plane hypothesis field.
 
@@ -94,7 +108,8 @@ def multiview_zncc(
                 origin=origin, n_views=n_views)[0]
         return multiview_zncc_pallas(ref_img, src_imgs, vg, planes, params,
                                      origin=origin, n_views=n_views,
-                                     k_shared=ks)
+                                     k_shared=ks,
+                                     k_groups=k_groups if ks else None)
 
     H, W = ref_img.shape
     x, y = geo.pixel_grid(H, W)
@@ -116,6 +131,7 @@ def multiview_zncc_packed(
     origin=None,             # FULL-grid (y0, x0) of ref_img's top-left
     n_views=None,            # dynamic true view count
     coherent_hyps=False,     # see multiview_zncc
+    k_groups=None,           # see multiview_zncc
 ) -> jax.Array:
     """`multiview_zncc` on a parity row-packed half grid (ops/parity.py):
     packed (i, j) is the full-grid pixel at local row 2i + (off0+j)%2.
@@ -135,7 +151,8 @@ def multiview_zncc_packed(
                 origin=origin, row_pack_off=off0, n_views=n_views)[0]
         return multiview_zncc_pallas(ref_img, src_imgs, vg, planes, params,
                                      origin=origin, row_pack_off=off0,
-                                     n_views=n_views, k_shared=ks)
+                                     n_views=n_views, k_shared=ks,
+                                     k_groups=k_groups if ks else None)
 
     H, W = ref_img.shape
     x, y = geo.pixel_grid(H, W)

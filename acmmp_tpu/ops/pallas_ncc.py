@@ -131,6 +131,18 @@ def multiview_zncc_pallas(
                                # a random stack would widen the union to the
                                # whole image and every k pays the widened
                                # scan, so keep it off for exploration fields
+    k_groups=None,             # k_shared only: static partition of the K
+                               # hypotheses into scan groups, e.g.
+                               # ((0,2,4,6),(1,3,5,7)). Each group scans
+                               # the union of ITS members' windows, so a
+                               # group of tight-window candidates stops
+                               # paying for a wide-window sibling (the far
+                               # checkerboard strips reach 23 px,
+                               # src/ACMMP.cu:819-827 — on curved surfaces
+                               # their planes deviate ~(reach)^2 more than
+                               # the near candidates'). None = one group
+                               # (identical output either way; grouping
+                               # only changes scan-visit scheduling)
 ) -> jax.Array:
     """Per-view bilateral ZNCC costs, [K, H, W, V] (or [K, H//2, W, V] when
     `row_pack_off` is given)."""
@@ -221,12 +233,19 @@ def multiview_zncc_pallas(
     min_var = params.min_var
 
     if k_shared:
+        if k_groups is None:
+            k_groups = (tuple(range(K)),)
+        else:
+            k_groups = tuple(tuple(g) for g in k_groups)
+            assert sorted(k for g in k_groups for k in g) == list(range(K)), (
+                f"k_groups {k_groups} must partition range({K})")
         return _kshared_call(
             A, B, swh, org, src_dev, mfield, w_taps, wr_taps, refsums,
             taps=taps, K=K, V=V, Hg=Hg, W=W, Hs_p=Hs_p, Ws_p=Ws_p, R=R,
             bw=bw, src_u8=src_u8, two_phase=two_phase, n_phase=n_phase,
             all_resident=all_resident, row_packed=row_packed,
-            cost_max=cost_max, min_var=min_var, PHASE=PHASE)
+            cost_max=cost_max, min_var=min_var, PHASE=PHASE,
+            k_groups=k_groups)
 
     grid = (K, V, Hg // TILE_H, W // TILE_W)
 
@@ -523,7 +542,7 @@ def multiview_zncc_pallas(
 def _kshared_call(A, B, swh, org, src_dev, mfield, w_taps, wr_taps, refsums,
                   *, taps, K, V, Hg, W, Hs_p, Ws_p, R, bw, src_u8, two_phase,
                   n_phase, all_resident, row_packed, cost_max, min_var,
-                  PHASE):
+                  PHASE, k_groups=None):
     """K-batched variant of the ZNCC kernel: the grid drops the hypothesis
     axis and one (view, tile) visit evaluates all K hypotheses, scanning the
     UNION of their per-tap bboxes once — the chunk slices, row broadcasts
@@ -535,8 +554,16 @@ def _kshared_call(A, B, swh, org, src_dev, mfield, w_taps, wr_taps, refsums,
     per-(k, word-row) gathers and compare-selects are unchanged: each
     (word, column) is still found in exactly one (chunk, pair) visit of the
     union scan, so the masked-overwrite accumulation argument of the base
-    kernel holds per k."""
+    kernel holds per k.
+
+    `k_groups` (static partition of range(K)) splits the scan into one
+    loop per group, each over the union of only ITS members' windows —
+    sub-stacking for stacks whose members have systematically different
+    reach (docs/PERF.md lever 12). Output is bitwise identical for any
+    grouping."""
     T = len(taps)
+    if k_groups is None:
+        k_groups = (tuple(range(K)),)
 
     def kernel(a_ref, b_ref, swh_ref, org_ref, src_ref, m_ref, w_ref, wr_ref,
                rs_ref, out_ref):
@@ -647,101 +674,119 @@ def _kshared_call(A, B, swh, org, src_dev, mfield, w_taps, wr_taps, refsums,
                     xmin[k] = jnp.min(xi[k])
                     xmax[k] = jnp.max(xi[k])
 
-                # union scan bounds over all K hypotheses
-                uy_min = ymin[0]
-                uy_max = ymax[0]
-                ux_min = xmin[0]
-                ux_max = xmax[0]
-                for k in range(1, K):
-                    uy_min = jnp.minimum(uy_min, ymin[k])
-                    uy_max = jnp.maximum(uy_max, ymax[k])
-                    ux_min = jnp.minimum(ux_min, xmin[k])
-                    ux_max = jnp.maximum(ux_max, xmax[k])
-
-                w_lo = uy_min // R
-                w_hi = jnp.minimum(uy_max + 1, Hs_p - 1) // R
-                if two_phase:
-                    use_b = (w_lo % TILE_H) >= PHASE
-                    off = jnp.where(use_b, PHASE, 0)
-                    ph_mem = jnp.where(use_b, n_words, 0)
-                else:
-                    off = 0
-                    ph_mem = 0
-                c_lo = (w_lo - off) // TILE_H
-                n_rb = (w_hi - off) // TILE_H + 1 - c_lo
-                col_lo = ux_min // TILE_W
-                col_hi = jnp.minimum((ux_max + 1) // TILE_W, last_col)
-                n_cols = col_hi + 1 - col_lo
-                n_cp = (n_cols + 1) // 2
-
                 k0w = [yi[k] // R for k in range(K)]
                 k1w = [(yi[k] + 1) // R for k in range(K)]
-
-                def scan_body(i, carry, k0w=k0w, k1w=k1w, xi=xi,
-                              c_lo=c_lo, n_cp=n_cp, col_lo=col_lo,
-                              col_hi=col_hi, off=off, ph_mem=ph_mem):
-                    # carry: (W00, W01, W10, W11) each a K-tuple
-                    W00, W01, W10, W11 = (list(c) for c in carry)
-                    cw = (c_lo + i // n_cp) * TILE_H
-                    r0w = pl.multiple_of(ph_mem + cw, TILE_H)
-                    ca = col_lo + 2 * (i % n_cp)
-                    has_b = ca < col_hi
-                    cb = jnp.minimum(ca + 1, last_col)
-                    c0a = ca * TILE_W
-                    c0b = cb * TILE_W
-                    if all_resident:
-                        chA = src_ref[v, pl.ds(r0w, TILE_H),
-                                      pl.ds(c0a, TILE_W)]
-                        chB = src_ref[v, pl.ds(r0w, TILE_H),
-                                      pl.ds(c0b, TILE_W)]
-                    else:
-                        chA = src_ref[0, pl.ds(r0w, TILE_H),
-                                      pl.ds(c0a, TILE_W)]
-                        chB = src_ref[0, pl.ds(r0w, TILE_H),
-                                      pl.ds(c0b, TILE_W)]
-                    xlA = [xi[k] - c0a for k in range(K)]
-                    xlB = [xi[k] - c0b for k in range(K)]
-                    in0B = [(x >= 0) & (x < TILE_W) & has_b for x in xlB]
-                    in1B = [(x + 1 >= 0) & (x + 1 < TILE_W) & has_b
-                            for x in xlB]
-                    in0 = [((xlA[k] >= 0) & (xlA[k] < TILE_W)) | in0B[k]
-                           for k in range(K)]
-                    in1 = [((xlA[k] + 1 >= 0) & (xlA[k] + 1 < TILE_W))
-                           | in1B[k] for k in range(K)]
-                    xc0A = [jnp.clip(x, 0, TILE_W - 1) for x in xlA]
-                    xc1A = [jnp.clip(x + 1, 0, TILE_W - 1) for x in xlA]
-                    xc0B = [jnp.clip(x, 0, TILE_W - 1) for x in xlB]
-                    xc1B = [jnp.clip(x + 1, 0, TILE_W - 1) for x in xlB]
-                    k0rel = [k0w[k] - (off + cw) for k in range(K)]
-                    k1rel = [k1w[k] - (off + cw) for k in range(K)]
-                    for pr in range(TILE_H):
-                        # the row slice + broadcast is the shared work —
-                        # once per word-row for all K hypotheses
-                        rowA = jnp.broadcast_to(chA[pr:pr + 1, :],
-                                                (TILE_H, TILE_W))
-                        rowB = jnp.broadcast_to(chB[pr:pr + 1, :],
-                                                (TILE_H, TILE_W))
-                        for k in range(K):
-                            g0 = jnp.where(
-                                in0B[k],
-                                jnp.take_along_axis(rowB, xc0B[k], axis=1),
-                                jnp.take_along_axis(rowA, xc0A[k], axis=1))
-                            g1 = jnp.where(
-                                in1B[k],
-                                jnp.take_along_axis(rowB, xc1B[k], axis=1),
-                                jnp.take_along_axis(rowA, xc1A[k], axis=1))
-                            m0 = k0rel[k] == pr
-                            m1 = k1rel[k] == pr
-                            W00[k] = jnp.where(m0 & in0[k], g0, W00[k])
-                            W01[k] = jnp.where(m1 & in0[k], g0, W01[k])
-                            W10[k] = jnp.where(m0 & in1[k], g1, W10[k])
-                            W11[k] = jnp.where(m1 & in1[k], g1, W11[k])
-                    return (tuple(W00), tuple(W01), tuple(W10), tuple(W11))
-
                 zW = jnp.zeros((TILE_H, TILE_W), jnp.int32)
-                zK = (zW,) * K
-                W00, W01, W10, W11 = jax.lax.fori_loop(
-                    0, n_rb * n_cp, scan_body, (zK, zK, zK, zK))
+                W00 = [zW] * K
+                W01 = [zW] * K
+                W10 = [zW] * K
+                W11 = [zW] * K
+
+                # one scan per hypothesis GROUP, over the union of only
+                # that group's windows
+                for grp in k_groups:
+                    uy_min = ymin[grp[0]]
+                    uy_max = ymax[grp[0]]
+                    ux_min = xmin[grp[0]]
+                    ux_max = xmax[grp[0]]
+                    for k in grp[1:]:
+                        uy_min = jnp.minimum(uy_min, ymin[k])
+                        uy_max = jnp.maximum(uy_max, ymax[k])
+                        ux_min = jnp.minimum(ux_min, xmin[k])
+                        ux_max = jnp.maximum(ux_max, xmax[k])
+
+                    w_lo = uy_min // R
+                    w_hi = jnp.minimum(uy_max + 1, Hs_p - 1) // R
+                    if two_phase:
+                        use_b = (w_lo % TILE_H) >= PHASE
+                        off = jnp.where(use_b, PHASE, 0)
+                        ph_mem = jnp.where(use_b, n_words, 0)
+                    else:
+                        off = 0
+                        ph_mem = 0
+                    c_lo = (w_lo - off) // TILE_H
+                    n_rb = (w_hi - off) // TILE_H + 1 - c_lo
+                    col_lo = ux_min // TILE_W
+                    col_hi = jnp.minimum((ux_max + 1) // TILE_W, last_col)
+                    n_cols = col_hi + 1 - col_lo
+                    n_cp = (n_cols + 1) // 2
+
+                    def scan_body(i, carry, grp=grp, k0w=k0w, k1w=k1w,
+                                  xi=xi, c_lo=c_lo, n_cp=n_cp,
+                                  col_lo=col_lo, col_hi=col_hi, off=off,
+                                  ph_mem=ph_mem):
+                        # carry: (W00, W01, W10, W11) each a |grp|-tuple
+                        g00, g01, g10, g11 = (list(c) for c in carry)
+                        cw = (c_lo + i // n_cp) * TILE_H
+                        r0w = pl.multiple_of(ph_mem + cw, TILE_H)
+                        ca = col_lo + 2 * (i % n_cp)
+                        has_b = ca < col_hi
+                        cb = jnp.minimum(ca + 1, last_col)
+                        c0a = ca * TILE_W
+                        c0b = cb * TILE_W
+                        if all_resident:
+                            chA = src_ref[v, pl.ds(r0w, TILE_H),
+                                          pl.ds(c0a, TILE_W)]
+                            chB = src_ref[v, pl.ds(r0w, TILE_H),
+                                          pl.ds(c0b, TILE_W)]
+                        else:
+                            chA = src_ref[0, pl.ds(r0w, TILE_H),
+                                          pl.ds(c0a, TILE_W)]
+                            chB = src_ref[0, pl.ds(r0w, TILE_H),
+                                          pl.ds(c0b, TILE_W)]
+                        xlA = [xi[k] - c0a for k in grp]
+                        xlB = [xi[k] - c0b for k in grp]
+                        G = len(grp)
+                        in0B = [(x >= 0) & (x < TILE_W) & has_b for x in xlB]
+                        in1B = [(x + 1 >= 0) & (x + 1 < TILE_W) & has_b
+                                for x in xlB]
+                        in0 = [((xlA[j] >= 0) & (xlA[j] < TILE_W)) | in0B[j]
+                               for j in range(G)]
+                        in1 = [((xlA[j] + 1 >= 0) & (xlA[j] + 1 < TILE_W))
+                               | in1B[j] for j in range(G)]
+                        xc0A = [jnp.clip(x, 0, TILE_W - 1) for x in xlA]
+                        xc1A = [jnp.clip(x + 1, 0, TILE_W - 1) for x in xlA]
+                        xc0B = [jnp.clip(x, 0, TILE_W - 1) for x in xlB]
+                        xc1B = [jnp.clip(x + 1, 0, TILE_W - 1) for x in xlB]
+                        k0rel = [k0w[k] - (off + cw) for k in grp]
+                        k1rel = [k1w[k] - (off + cw) for k in grp]
+                        for pr in range(TILE_H):
+                            # the row slice + broadcast is the shared work —
+                            # once per word-row for the whole group
+                            rowA = jnp.broadcast_to(chA[pr:pr + 1, :],
+                                                    (TILE_H, TILE_W))
+                            rowB = jnp.broadcast_to(chB[pr:pr + 1, :],
+                                                    (TILE_H, TILE_W))
+                            for j in range(G):
+                                g0 = jnp.where(
+                                    in0B[j],
+                                    jnp.take_along_axis(rowB, xc0B[j],
+                                                        axis=1),
+                                    jnp.take_along_axis(rowA, xc0A[j],
+                                                        axis=1))
+                                g1 = jnp.where(
+                                    in1B[j],
+                                    jnp.take_along_axis(rowB, xc1B[j],
+                                                        axis=1),
+                                    jnp.take_along_axis(rowA, xc1A[j],
+                                                        axis=1))
+                                m0 = k0rel[j] == pr
+                                m1 = k1rel[j] == pr
+                                g00[j] = jnp.where(m0 & in0[j], g0, g00[j])
+                                g01[j] = jnp.where(m1 & in0[j], g0, g01[j])
+                                g10[j] = jnp.where(m0 & in1[j], g1, g10[j])
+                                g11[j] = jnp.where(m1 & in1[j], g1, g11[j])
+                        return (tuple(g00), tuple(g01), tuple(g10),
+                                tuple(g11))
+
+                    zG = (zW,) * len(grp)
+                    r00, r01, r10, r11 = jax.lax.fori_loop(
+                        0, n_rb * n_cp, scan_body, (zG, zG, zG, zG))
+                    for j, k in enumerate(grp):
+                        W00[k] = r00[j]
+                        W01[k] = r01[j]
+                        W10[k] = r10[j]
+                        W11[k] = r11[j]
 
                 wt = w_ref[0, t]
                 wrt = wr_ref[0, t]

@@ -158,6 +158,48 @@ def test_k_shared_matches_per_k():
             np.testing.assert_array_equal(np.asarray(base), np.asarray(ksh))
 
 
+def test_k_groups_match_single_group():
+    """Scan-group sub-stacking (k_groups) only changes visit scheduling:
+    any partition must be bitwise-equal to the single-group k_shared scan
+    and to the per-k grid — on coherent, random, packed, and
+    padded-view-slot stacks."""
+    from acmmp_tpu.ops import parity
+
+    inputs, vg, x, y, plane_z = _setup(height=32)
+    n = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), x.shape + (3,))
+    n_cam = geo.normal_world_to_cam(inputs.ref_cam, n)
+    p_true = geo.plane_from_depth_normal(
+        inputs.ref_cam, x, y, jnp.full(x.shape, plane_z), n_cam)
+    ks_ = jax.random.split(jax.random.key(11), 3)
+    rand = [samp_ops.random_plane(k, inputs.ref_cam, x, y,
+                                  inputs.depth_min, inputs.depth_max)
+            for k in ks_]
+    planes = jnp.stack([p_true, rand[0], p_true, rand[1]])
+    pm = ((x.astype(jnp.int32) + y.astype(jnp.int32)) % 2) == 0
+    off0 = parity.row_pack_offset(pm)
+    planes_pk = parity.pack_rows_c(planes, off0)
+
+    # interpret mode is slow: the packed case carries the grouping
+    # variants (the production layout), the full-grid case pins one
+    # permuted partition; single-group == k_shared and the per-k grid are
+    # already pinned by test_k_shared_matches_per_k
+    with pltpu.force_tpu_interpret_mode():
+        base = multiview_zncc_pallas(
+            inputs.ref_img, inputs.src_imgs, vg, planes_pk, PARAMS,
+            row_pack_off=off0)
+        for groups in [((0, 2), (1, 3)), ((0,), (1,), (2,), (3,))]:
+            g = multiview_zncc_pallas(
+                inputs.ref_img, inputs.src_imgs, vg, planes_pk, PARAMS,
+                k_shared=True, k_groups=groups, row_pack_off=off0)
+            np.testing.assert_array_equal(np.asarray(base), np.asarray(g))
+        base_f = multiview_zncc_pallas(
+            inputs.ref_img, inputs.src_imgs, vg, planes, PARAMS)
+        g = multiview_zncc_pallas(
+            inputs.ref_img, inputs.src_imgs, vg, planes, PARAMS,
+            k_shared=True, k_groups=((3, 1), (0, 2)))
+        np.testing.assert_array_equal(np.asarray(base_f), np.asarray(g))
+
+
 def test_packed_matches_full():
     """Parity row-packed evaluation (kernel + oracle) must equal the packed
     rows of the full-grid result."""
