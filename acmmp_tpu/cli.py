@@ -83,6 +83,9 @@ def main(argv=None):
     pr.add_argument("--seed", type=int, default=0, help="RNG seed")
     pr.add_argument("--max_image_size", type=int, default=3200)
     pr.add_argument("--no_planar_prior", action="store_true")
+    pr.add_argument("--planar_prior_max_pixels", type=int, default=0,
+                    help="skip the planar-prior second solve for views "
+                         "larger than this many pixels (0 = no bound)")
     pr.add_argument("--view_batch", type=int, default=1,
                     help="reference views solved per dispatch; "
                          "--mesh shards the batch over all local devices")
@@ -215,6 +218,9 @@ def main(argv=None):
         cfg = _cfg_from_args(args, prior=args.prior)
         if args.no_planar_prior:
             cfg = dataclasses.replace(cfg, planar_prior=False)
+        if args.planar_prior_max_pixels:
+            cfg = dataclasses.replace(
+                cfg, planar_prior_max_pixels=args.planar_prior_max_pixels)
         if args.view_batch > 1:
             cfg = dataclasses.replace(cfg, view_batch=args.view_batch)
         mesh = None

@@ -348,6 +348,13 @@ def _problem_key(cfg, rid, pass_tag):
     return jax.random.fold_in(jax.random.key(cfg.seed), rid * 131 + pass_tag)
 
 
+def _prior_size_skip(cfg, prep) -> bool:
+    """True when cfg.planar_prior_max_pixels bounds the planar-prior
+    second solve away from this (large) view."""
+    return (cfg.planar_prior_max_pixels > 0
+            and prep.h * prep.w > cfg.planar_prior_max_pixels)
+
+
 def process_problem(
     dense_folder: str,
     output_folder: str,
@@ -386,7 +393,7 @@ def process_problem(
     out = jax.tree.map(np.asarray,
                        _solve(prep.inputs, key, params=params, mode=mode))
 
-    if planar_prior:
+    if planar_prior and not _prior_size_skip(cfg, prep):
         inputs2 = _prior_second_solve_inputs(prep, out, cfg, hierarchy,
                                              rdir=rdir)
         if inputs2 is not None:
@@ -496,6 +503,8 @@ def process_batch(
         if planar_prior:
             second = []
             for j, (pp, out) in enumerate(zip(group, outs)):
+                if _prior_size_skip(cfg, pp):
+                    continue
                 inputs2 = _prior_second_solve_inputs(
                     pp, out, cfg, hierarchy,
                     rdir=result_dir(output_folder, pp.problem.ref_image_id))
