@@ -48,6 +48,11 @@ def main():
     ap.add_argument("--out", default="")
     ap.add_argument("--dense", default="", help="reuse/keep dense folder")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--window", type=float, default=None,
+                    help="rand_depth_tile_window override (0 = exact "
+                         "reference semantics; default = shipping value)")
+    ap.add_argument("--min_cos", type=float, default=None,
+                    help="rand_normal_min_cos override (0 = exact)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -86,7 +91,15 @@ def main():
             pairs.append((i, [(j, 100.0) for j in range(V) if j != i]))
         write_pair_txt(os.path.join(dense, "pair.txt"), pairs)
 
-    cfg = PipelineConfig(geom_iterations=args.geom_iters)
+    from acmmp_tpu.config import PatchMatchParams
+
+    pm_kw = {}
+    if args.window is not None:
+        pm_kw["rand_depth_tile_window"] = args.window
+    if args.min_cos is not None:
+        pm_kw["rand_normal_min_cos"] = args.min_cos
+    cfg = PipelineConfig(geom_iterations=args.geom_iters,
+                         patchmatch=PatchMatchParams(**pm_kw))
     t0 = time.monotonic()
     ply = run_pipeline(dense, cfg)
     wall = time.monotonic() - t0
@@ -106,6 +119,8 @@ def main():
     result = {
         "tool": "fullscale_quality",
         "shape": f"{W}x{H}", "views": V, "geom_iters": args.geom_iters,
+        "rand_depth_tile_window": cfg.patchmatch.rand_depth_tile_window,
+        "rand_normal_min_cos": cfg.patchmatch.rand_normal_min_cos,
         "pipeline_wall_s": round(wall, 1),
         "ply": ply,
         "metrics": {k: round(float(v), 4) for k, v in metrics.items()},

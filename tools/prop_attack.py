@@ -85,6 +85,9 @@ def window_stats(inputs, vg, cand_pk, off0, params, tap_ids, R=4):
 
     @jax.jit
     def bounds_vt(v, di, dj):
+        # v/di/dj are TRACED (one compiled program serves all 24
+        # (view, tap) calls — each retrace would re-upload a program
+        # through the axon tunnel)
         a = vg.A.astype(jnp.float32)[v]
         b = vg.B.astype(jnp.float32)[v]
         mq = (m[..., 0] * xx + m[..., 1] * yy + m[..., 2]) * iw
@@ -138,8 +141,9 @@ def window_stats(inputs, vg, cand_pk, off0, params, tap_ids, R=4):
     for v in range(V):
         for t in tap_ids:
             di, dj, _ = taps[t]
-            ymin, ymax, xmin, xmax = [np.asarray(a) for a in
-                                      bounds_vt(v, float(di), float(dj))]
+            ymin, ymax, xmin, xmax = [
+                np.asarray(a) for a in
+                bounds_vt(jnp.int32(v), jnp.float32(di), jnp.float32(dj))]
             for name, grp in GROUPINGS.items():
                 gs = grp or (tuple(range(K)),)
                 tot = 0.0
@@ -236,20 +240,34 @@ def main():
     nv = jnp.sum(inputs.view_mask)
     results = []
     variants = [v for v in args.variants.split(",") if v]
+
+    # one compiled program per distinct computation (off0 and the state
+    # are traced): each extra program is another tunnel upload
+    @jax.jit
+    def cand(st, off0):
+        cp, _ = prop_ops.best_neighbor_planes(
+            st.costs, st.planes, x, y, inputs.ref_cam.width,
+            inputs.ref_cam.height, params)
+        return parity.pack_rows_c(cp, off0)
+
+    runs = {}
+
+    def make_run(grp):
+        @jax.jit
+        def run(p, off0):
+            out = multiview_zncc_pallas(
+                inputs.ref_img, inputs.src_imgs, vg, p, params,
+                row_pack_off=off0, n_views=nv, k_shared=True,
+                k_groups=grp)
+            return jnp.sum(out)
+        return run
+
     for s, st in states.items():
         parity_mask = ((x.astype(jnp.int32) + y.astype(jnp.int32)) % 2 == 0)
         if s % 2 == 1:
             parity_mask = ~parity_mask
         off0 = parity.row_pack_offset(parity_mask)
-
-        @jax.jit
-        def cand(st):
-            cp, _ = prop_ops.best_neighbor_planes(
-                st.costs, st.planes, x, y, inputs.ref_cam.width,
-                inputs.ref_cam.height, params)
-            return parity.pack_rows_c(cp, off0)
-
-        cand_pk = jax.block_until_ready(cand(st))
+        cand_pk = jax.block_until_ready(cand(st, off0))
 
         if not args.skip_stats:
             tap_ids = [int(t) for t in args.stats_taps.split(",")]
@@ -273,21 +291,15 @@ def main():
             import contextlib
             ctx = contextlib.nullcontext
         for name in variants:
-            grp = GROUPINGS[name]
-
-            @jax.jit
-            def run(p, grp=grp):
-                out = multiview_zncc_pallas(
-                    inputs.ref_img, inputs.src_imgs, vg, p, params,
-                    row_pack_off=off0, n_views=nv, k_shared=True,
-                    k_groups=grp)
-                return jnp.sum(out)
+            if name not in runs:
+                runs[name] = make_run(GROUPINGS[name])
+            run = runs[name]
 
             with ctx():
-                float(run(cand_pk))
+                float(run(cand_pk, off0))
                 t1 = time.perf_counter()
                 for _ in range(args.reps):
-                    float(run(cand_pk))
+                    float(run(cand_pk, off0))
             dt = (time.perf_counter() - t1) / args.reps * 1e3
             row["times_ms"][name] = round(dt, 1)
             print(f"sweep {s}: prop K=8 {name:8s}: {dt:9.1f} ms/call",
