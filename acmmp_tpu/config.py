@@ -117,9 +117,14 @@ class PatchMatchParams:
     # deviate ~reach^2 more than the near ones and a near-only group
     # scans a tighter window. "none" = single union (round-4 behavior);
     # "nearfar" = ((0,2,4,6),(1,3,5,7)); "four" adds a vertical/
-    # horizontal split; "perk" = 8 singleton groups. Measured on real
-    # mid-solve DTU fields by tools/prop_attack.py (docs/PERF.md).
-    ncc_prop_substacks: str = "none"
+    # horizontal split; "perk" = 8 singleton groups; "auto" (default)
+    # picks "four" at/above the measured-win source size
+    # (ops/ncc.py PROP_SUBSTACKS_AUTO_MIN_PIXELS, the DTU operating
+    # point: 1.07-1.10x on real mid-solve fields) and "none" below,
+    # where the 4x per-visit chunk re-gather is unmeasured. Measured on
+    # real mid-solve DTU fields by tools/prop_attack.py (docs/PERF.md
+    # lever 12).
+    ncc_prop_substacks: str = "auto"
     # DEFAULT-ON deviation (set 0 for exact reference semantics): draw
     # each random depth (init planes + the two d_rand refinement
     # candidates) inside a per-(16,128)-GLOBAL-tile random subrange of

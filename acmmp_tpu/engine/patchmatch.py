@@ -303,8 +303,9 @@ def _sweep(state: SolverState, inputs: SolverInputs, vg, x, y, parity_mask,
     # window widens to the whole image and k_shared measures 1.4x slower)
     # and the 5 refinement candidates (2 of 5 are per-pixel random planes).
     ncc8 = eval_ncc(cand_planes, coherent=prop_coherent,
-                    k_groups=ncc_ops.PROP_GROUPINGS[
-                        params.ncc_prop_substacks])            # [8,*g,V]
+                    k_groups=ncc_ops.resolve_prop_grouping(
+                        params.ncc_prop_substacks,
+                        inputs.src_imgs.shape))                # [8,*g,V]
     ncc9 = jnp.concatenate([ncc8, pv_cur[None]], axis=0)       # [9,*g,V]
     geom9 = None
     if mode.geom_consistency:

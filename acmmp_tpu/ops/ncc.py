@@ -48,6 +48,29 @@ PROP_GROUPINGS = {
     "perk": tuple((k,) for k in range(8)),
 }
 
+# "auto" threshold: sub-stack ("four") only at source-view sizes where the
+# per-tap scan windows dominate the call and the measured grouping win
+# holds (tools/prop_attack.py: 1.07-1.10x at 1600x1184x8 on real mid-solve
+# fields; below this the 4x chunk re-gather per tile visit is unmeasured,
+# so auto keeps the single-union round-4 behavior). Compared against the
+# PADDED source pixel count — a static shape, safe under jit.
+PROP_SUBSTACKS_AUTO_MIN_PIXELS = 1600 * 1184
+
+
+def resolve_prop_grouping(name, src_shape):
+    """Map config.ncc_prop_substacks to a static k_groups partition.
+
+    `src_shape` is the (padded) source-image shape [..., Hs, Ws]; "auto"
+    picks "four" at/above PROP_SUBSTACKS_AUTO_MIN_PIXELS and "none" below.
+    Any concrete partition is bitwise-identical to the single union
+    (tests/test_pallas_ncc.py::test_k_groups_match_single_group) — the
+    choice is purely a visit-scheduling/performance decision.
+    """
+    if name == "auto":
+        big = src_shape[-2] * src_shape[-1] >= PROP_SUBSTACKS_AUTO_MIN_PIXELS
+        name = "four" if big else "none"
+    return PROP_GROUPINGS[name]
+
 
 def make_view_geometry(ref_cam: geo.Camera, src_cams: geo.Camera) -> ViewGeometry:
     """src_cams: stacked Camera with leading view axis [V]."""

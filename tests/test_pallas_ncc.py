@@ -200,6 +200,21 @@ def test_k_groups_match_single_group():
         np.testing.assert_array_equal(np.asarray(base_f), np.asarray(g))
 
 
+def test_resolve_prop_grouping_auto():
+    """"auto" substacks pick "four" at/above the DTU source size and the
+    round-4 single-union scan below it; concrete names pass through."""
+    from acmmp_tpu.ops import ncc as ncc_ops
+
+    small = (4, 960, 1280)   # [V, Hs, Ws] below the threshold
+    big = (8, 1184, 1664)    # padded DTU operating point
+    assert ncc_ops.resolve_prop_grouping("auto", small) is None
+    assert (ncc_ops.resolve_prop_grouping("auto", big)
+            == ncc_ops.PROP_GROUPINGS["four"])
+    assert ncc_ops.resolve_prop_grouping("none", big) is None
+    assert (ncc_ops.resolve_prop_grouping("nearfar", small)
+            == ncc_ops.PROP_GROUPINGS["nearfar"])
+
+
 def test_packed_matches_full():
     """Parity row-packed evaluation (kernel + oracle) must equal the packed
     rows of the full-grid result."""
